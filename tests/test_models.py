@@ -1,0 +1,109 @@
+"""Model shape-contract tests (trace-only via eval_shape — no XLA compile)
+plus one tiny end-to-end train-step test."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from objectdetectionpl_tpu.models import build_model
+from objectdetectionpl_tpu.ops import losses
+from tests.conftest import make_padded_targets
+
+C = 4  # small class count keeps channel sizes tiny
+
+
+def _shapes(model, size, batch=1):
+    """Trace init+apply without compiling or allocating."""
+    x = jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32)
+    variables = jax.eval_shape(lambda r, xx: model.init(r, xx, train=False),
+                               jax.random.PRNGKey(0), x)
+    out = jax.eval_shape(lambda v, xx: model.apply(v, xx, train=False),
+                         variables, x)
+    return out
+
+
+def test_yolov2_contract():
+    out = _shapes(build_model("YOLOv2", C), 416)
+    assert out.shape == (1, 5 * (5 + C), 13, 13)
+
+
+def test_yolov3_contract():
+    out = _shapes(build_model("YOLOv3", C), 416)
+    assert [o.shape for o in out] == [(1, 3 * (5 + C), g, g)
+                                      for g in (13, 26, 52)]
+
+
+def test_yolov4_contract():
+    out = _shapes(build_model("YOLOv4", C), 416)
+    assert [o.shape for o in out] == [(1, 3 * (5 + C), g, g)
+                                      for g in (52, 26, 13)]
+
+
+def test_yolov5_contract():
+    out = _shapes(build_model("YOLOv5", C, yolov5_type="Yolov5s"), 640)
+    assert [o.shape for o in out] == [(1, 3, g, g, 5 + C)
+                                      for g in (80, 40, 20)]
+
+
+def test_yolov5_variants_scale_params():
+    """Width/depth multiples change parameter counts monotonically."""
+    x = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
+    counts = {}
+    for v in ("Yolov5s", "Yolov5m"):
+        m = build_model("YOLOv5", C, yolov5_type=v)
+        var = jax.eval_shape(lambda r, xx, mm=m: mm.init(r, xx, train=False),
+                             jax.random.PRNGKey(0), x)
+        counts[v] = sum(int(np.prod(l.shape))
+                        for l in jax.tree.leaves(var["params"]))
+    assert counts["Yolov5m"] > counts["Yolov5s"]
+
+
+def test_ssd_contract():
+    out = _shapes(build_model("SSD", C), 300)
+    loc, cls = out
+    assert loc.shape == (1, 8732, 4)
+    assert cls.shape == (1, 8732, 1 + C)
+
+
+def test_retinanet_contract():
+    out = _shapes(build_model("RetinaNet", C), 256)
+    loc, cls = out
+    num_anchors = sum(int(np.ceil(256 / 2 ** (i + 3))) ** 2 * 9
+                      for i in range(5))
+    assert loc.shape == (1, num_anchors, 4)
+    assert cls.shape == (1, num_anchors, C)
+
+
+def test_yolov2_train_step_decreases_loss(rng):
+    """End-to-end: forward + loss + SGD steps reduce the loss (tiny 160px)."""
+    import optax
+
+    model = build_model("YOLOv2", C)
+    x = jnp.asarray(rng.rand(2, 160, 160, 3), jnp.float32)
+    labels, boxes, mask = make_padded_targets(rng, 2, 5, C)
+    labels, boxes, mask = jnp.asarray(labels), jnp.asarray(boxes), jnp.asarray(mask)
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    loss_fn = losses.make_loss("YOLOv2", C, 160)
+
+    def objective(p, bs):
+        out, updates = model.apply({"params": p, "batch_stats": bs}, x,
+                                   train=True, mutable=["batch_stats"])
+        return loss_fn(out, labels, boxes, mask)["loss"], updates
+
+    tx = optax.sgd(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, bs, s):
+        (loss, updates), grads = jax.value_and_grad(objective, has_aux=True)(p, bs)
+        up, s = tx.update(grads, s)
+        return optax.apply_updates(p, up), updates["batch_stats"], s, loss
+
+    losses_seen = []
+    for _ in range(3):
+        params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state)
+        losses_seen.append(float(loss))
+    assert losses_seen[-1] < losses_seen[0]
+    assert all(np.isfinite(l) for l in losses_seen)
