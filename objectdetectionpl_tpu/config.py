@@ -1,0 +1,106 @@
+"""Typed config with the reference's YAML surface and precedence semantics.
+
+The reference flattens every top-level YAML section onto one argparse
+namespace, later sections overriding earlier ones (run.py:26-34) — which makes
+the trailing ``yaml_test`` section silently override ``training``
+(configs/config.yaml:68-73).  We keep the same key surface and the same
+section-order override rule, but make it explicit and typed.
+
+Per-model image size defaults follow run.py:35-38: RetinaNet 600, SSD 300,
+YOLOv5 640, else 416.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence
+
+import yaml
+
+
+@dataclasses.dataclass
+class Config:
+    # data section (configs/config.yaml:1-9)
+    data_module: str = "Synthetic"
+    data_root: str = "data"
+    batch_size: int = 2
+    stage: str = "fit"
+    test: bool = True
+    view_mark: bool = False
+    img_size: int = 0                 # 0 -> per-model default
+    max_boxes: int = 100              # padded-target capacity (TPU static shape)
+    num_workers: int = 0
+
+    # model section (configs/config.yaml:24-32)
+    model_name: str = "YOLOv5"
+    type: str = "Yolov5s"             # YOLOv5 variant
+    cls_criterion: str = "bce_loss"
+    coord_criterion: str = "smooth_l1_loss"
+
+    # optimizer section (configs/config.yaml:34-44)
+    optimizer: str = "Adam"
+    lr: float = 1e-3
+    lr_decay: float = 0.0
+    lr_scheduler: str = "ReduceLROnPlateau"
+    patience: int = 3
+    threshold: float = 0.9
+    momentum: float = 0.9
+    weight_decay: float = 1e-5
+    alpha: float = 0.95
+    betas: Sequence[float] = (0.9, 0.999)
+
+    # training section (configs/config.yaml:49-52)
+    max_epochs: int = 100
+    n_epochs: int = 100
+    accumulate_grad_batches: int = 8
+    limit_train_batches: Optional[int] = None
+    limit_val_batches: Optional[int] = None
+    limit_test_batches: Optional[int] = None
+
+    # trainer section (configs/config.yaml:57-61)
+    num_sanity_val_steps: int = 0
+    early_stop_patience: int = 3      # EarlyStopping(patience=3), run.py:98-104
+    save_top_k: int = 3               # ModelCheckpoint top-3, run.py:88-96
+    log_dir: str = "log_dir"
+
+    # fitune section (configs/config.yaml:63-66)
+    tune: bool = False
+    auto_lr_find: bool = True
+    auto_scale_batch_size: str = "power"
+
+    # TPU-native knobs (no reference equivalent)
+    compute_dtype: str = "float32"    # "bfloat16" for MXU-friendly compute
+    mesh_shape: Optional[Sequence[int]] = None   # None -> all devices on 'data'
+    seed: int = 0
+    synthetic_size: int = 64          # examples in the synthetic dataset
+
+    extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    @property
+    def effective_img_size(self) -> int:
+        if self.img_size:
+            return self.img_size
+        from objectdetectionpl_tpu.models.registry import default_img_size
+        return default_img_size(self.model_name)
+
+
+def load_config(path: Optional[str] = None,
+                overrides: Optional[Dict[str, Any]] = None) -> Config:
+    """YAML -> Config.  Sections are flattened in file order; later sections
+    override earlier keys (run.py:26-34 semantics).  Unknown keys are kept in
+    ``extra`` rather than dropped."""
+    flat: Dict[str, Any] = {}
+    if path:
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        for _, section in raw.items():
+            if isinstance(section, dict):
+                flat.update(section)
+    if overrides:
+        flat.update(overrides)
+
+    fields = {f.name for f in dataclasses.fields(Config)}
+    known = {k: v for k, v in flat.items() if k in fields and k != "extra"}
+    extra = {k: v for k, v in flat.items() if k not in fields}
+    cfg = Config(**known, extra=extra)
+    return cfg

@@ -1,0 +1,82 @@
+"""Host-side batching pipeline: parsed examples -> fixed-shape Batch.
+
+Replaces the reference's DataLoader + collate_fn (dataset/Pascal.py:177-186):
+host does decode + resize to the static img_size; normalization and all
+augmentation run on device (see augment.py), keeping the host loop minimal.
+
+drop_last=True like the reference dataloaders (dataset/Pascal.py:255-276).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from objectdetectionpl_tpu.data.types import Batch, pad_targets, topleft_to_center_norm
+
+
+def _resize(img: np.ndarray, size: int) -> np.ndarray:
+    try:
+        import cv2
+        return cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        from PIL import Image
+        return np.asarray(
+            Image.fromarray(img).resize((size, size), Image.BILINEAR))
+
+
+class Loader:
+    """Iterates padded batches over a parser (or an index subset of one)."""
+
+    def __init__(self, parser, img_size: int, batch_size: int,
+                 max_boxes: int = 100, shuffle: bool = False, seed: int = 0,
+                 indices: Optional[Sequence[int]] = None,
+                 drop_last: bool = True, limit_batches: Optional[int] = None):
+        self.parser = parser
+        self.img_size = img_size
+        self.batch_size = batch_size
+        self.max_boxes = max_boxes
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.indices = (np.asarray(indices, np.int64) if indices is not None
+                        else np.arange(len(parser)))
+        self.drop_last = drop_last
+        self.limit_batches = limit_batches
+
+    def __len__(self):
+        n = len(self.indices) // self.batch_size
+        if not self.drop_last and len(self.indices) % self.batch_size:
+            n += 1
+        return min(n, self.limit_batches) if self.limit_batches else n
+
+    def __iter__(self) -> Iterator[Batch]:
+        order = self.indices.copy()
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(order)
+        self.epoch += 1
+
+        n_batches = len(self)
+        for b in range(n_batches):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            images, boxes_l, labels_l = [], [], []
+            for i in idx:
+                ex = self.parser[int(i)]
+                h, w = ex.image.shape[:2]
+                images.append(_resize(ex.image, self.img_size))
+                boxes_l.append(topleft_to_center_norm(ex.boxes, w, h))
+                labels_l.append(ex.labels)
+            imgs = (np.stack(images).astype(np.float32) / 255.0)
+            boxes, labels, mask = pad_targets(boxes_l, labels_l, self.max_boxes)
+            yield Batch(imgs, labels, boxes, mask)
+
+
+def random_split_indices(n: int, frac: float = 0.8, seed: int = 42):
+    """80/20 split (torch random_split parity in spirit; seeded for
+    reproducibility — the reference's split is unseeded, dataset/Pascal.py:205)."""
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(n)
+    k = int(round(n * frac))
+    return order[:k], order[k:]

@@ -1,0 +1,4 @@
+"""Device-mesh setup and sharding helpers (data-parallel first)."""
+
+from objectdetectionpl_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding, make_mesh, replicated_sharding, shard_batch)

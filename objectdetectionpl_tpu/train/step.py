@@ -1,0 +1,157 @@
+"""Jitted train/eval/predict steps with gradient accumulation and sharding.
+
+TPU-native equivalent of the reference's monkey-patched Lightning hooks
+(``LightningFunc/step.py:14-100``):
+
+- ``train_step``: value_and_grad over the model+loss, gradient accumulation as
+  a ``lax.scan`` over microbatches (the reference delegates
+  ``accumulate_grad_batches: 8`` to Lightning, configs/config.yaml:52),
+  optimizer update, BatchNorm statistics threading.
+- ``eval_step``: loss under running statistics (validation_step parity).
+- ``predict_step``: forward + batched NMS (test_step parity).
+
+All steps are pure functions jitted once; the batch enters sharded over the
+mesh 'data' axis and XLA inserts the gradient all-reduce.
+Batch layout for train: every array is [accum_steps, micro_batch, ...].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from objectdetectionpl_tpu.train.state import TrainState
+
+
+def make_train_step(model, loss_fn: Callable, tx,
+                    accum_steps: int = 1) -> Callable:
+    """Returns jitted ``(state, images, labels, boxes, mask) -> (state, metrics)``.
+
+    images: [A, mB, S, S, 3]; labels/boxes/mask: [A, mB, ...] with A == accum_steps.
+    """
+
+    def loss_through_model(params, batch_stats, images, labels, boxes, mask):
+        out, upd = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=True, mutable=["batch_stats"])
+        metrics = loss_fn(out, labels, boxes, mask)
+        return metrics["loss"], (metrics, upd["batch_stats"])
+
+    grad_fn = jax.value_and_grad(loss_through_model, has_aux=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, images, labels, boxes, mask):
+        def body(carry, micro):
+            grads_acc, bstats = carry
+            im, lb, bx, mk = micro
+            (_, (metrics, new_bs)), grads = grad_fn(
+                state.params, bstats, im, lb, bx, mk)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (grads_acc, new_bs), metrics
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        (grads, batch_stats), metrics = jax.lax.scan(
+            body, (zero_grads, state.batch_stats),
+            (images, labels, boxes, mask))
+        grads = jax.tree.map(lambda g: g / accum_steps, grads)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(jnp.add, state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=batch_stats,
+                                  opt_state=opt_state)
+        return new_state, jax.tree.map(jnp.mean, metrics)
+
+    return train_step
+
+
+def make_eval_step(model, loss_fn: Callable) -> Callable:
+    """Returns jitted ``(state, images, labels, boxes, mask) -> metrics``
+    (validation_step parity, LightningFunc/step.py:43-48)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, images, labels, boxes, mask):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        return loss_fn(out, labels, boxes, mask)
+
+    return eval_step
+
+
+def make_predict_step(model, postprocess: Callable) -> Callable:
+    """Returns jitted ``(state, images) -> NMSResult`` — forward in inference
+    mode + decode + batched NMS (test_step parity, step.py:64-100)."""
+
+    @jax.jit
+    def predict_step(state: TrainState, images):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False)
+        return postprocess(out)
+
+    return predict_step
+
+
+def make_postprocess(model_name: str, num_classes: int, img_size: int,
+                     conf_thres: float = 0.5, nms_thres: float = 0.4,
+                     top_k: int = 300) -> Callable:
+    """Model-family-specific decode + NMS, emitting pixel-space boxes.
+
+    SSD/RetinaNet: anchor decode + greedy NMS (model/SSD.py:249-310).
+    YOLO: family decode + weighted-merge NMS (model/YOLOV5.py:157-218).
+    """
+    from objectdetectionpl_tpu.ops import anchors as anchor_lib
+    from objectdetectionpl_tpu.ops import boxes as box_ops
+    from objectdetectionpl_tpu.ops import nms
+
+    if model_name == "SSD":
+        dboxes = anchor_lib.ssd_dboxes()
+
+        def post(outputs):
+            loc, cls = outputs
+            # drop the explicit background channel for scoring
+            return nms.anchor_nms(loc, cls[..., 1:], dboxes,
+                                  nms_thresh=0.5, class_thresh=0.45,
+                                  scale=float(img_size))
+        return post
+
+    if model_name == "RetinaNet":
+        anchors = anchor_lib.retina_anchors(img_size)
+
+        def post(outputs):
+            loc, cls = outputs
+            return nms.anchor_nms(loc, cls, anchors,
+                                  decode=box_ops.retina_decode,
+                                  nms_thresh=0.5, class_thresh=0.45,
+                                  scale=1.0)
+        return post
+
+    if model_name == "YOLOv5":
+        def post(outputs):
+            preds = nms.decode_yolov5_predictions(
+                outputs, anchor_lib.YOLOV5_ANCHORS, anchor_lib.YOLOV5_STRIDES,
+                num_classes)
+            return nms.yolo_nms(preds, conf_thres, nms_thres, top_k)
+        return post
+
+    table = {
+        "YOLOv2": ([anchor_lib.YOLOV2_ANCHORS * (img_size // 13)],
+                   (img_size // 13,)),
+        "YOLOv3": (anchor_lib.YOLOV3_ANCHORS, anchor_lib.YOLOV3_STRIDES),
+        "YOLOv4": ([anchor_lib.YOLOV4_ANCHORS[list(m)]
+                    for m in anchor_lib.YOLOV4_ANCH_MASKS],
+                   anchor_lib.YOLOV4_STRIDES),
+    }
+    anchors_px, strides = table[model_name]
+
+    def post(outputs):
+        if not isinstance(outputs, (list, tuple)):
+            outputs = [outputs]
+        preds = nms.decode_yolo_predictions(outputs, anchors_px, strides,
+                                            num_classes, img_size)
+        return nms.yolo_nms(preds, conf_thres, nms_thres, top_k)
+    return post
