@@ -1,0 +1,77 @@
+"""Benchmark: YOLOv5s-640 end-to-end images/sec/chip (preproc + infer + NMS).
+
+The BASELINE.json headline metric.  Runs on whatever jax.devices() offers
+(the driver runs it on one real TPU chip); bfloat16 compute, batch tuned for
+single-chip throughput.  Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured against A100_PT_BASELINE_IPS, a nominal
+A100-PyTorch YOLOv5s-640 end-to-end (decode+aug+infer+NMS) throughput.  The
+reference publishes no numbers (BASELINE.md); 250 img/s is the provisional
+stand-in until the reference harness is measured — the driver-set target is
+5x that on v5e (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_PT_BASELINE_IPS = 250.0
+BATCH = 16
+IMG = 640
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    from objectdetectionpl_tpu.models import build_model
+    from objectdetectionpl_tpu.ops import anchors as anchor_lib
+    from objectdetectionpl_tpu.ops import nms
+
+    num_classes = 10  # BDD100K class count (headline config)
+    model = build_model("YOLOv5", num_classes, dtype=jnp.bfloat16,
+                        yolov5_type="Yolov5s")
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((BATCH, IMG, IMG, 3), jnp.bfloat16)
+    variables = model.init(rng, x0, train=False)
+
+    @jax.jit
+    def end_to_end(raw_uint8):
+        # preproc: normalize uint8 -> [0,1] bf16 (device-side)
+        images = raw_uint8.astype(jnp.bfloat16) / 255.0
+        out = model.apply(variables, images, train=False)
+        preds = nms.decode_yolov5_predictions(
+            out, anchor_lib.YOLOV5_ANCHORS, anchor_lib.YOLOV5_STRIDES,
+            num_classes)
+        return nms.yolo_nms(preds, conf_thres=0.5, nms_thres=0.4, top_k=300)
+
+    host = np.random.RandomState(0).randint(
+        0, 255, (BATCH, IMG, IMG, 3)).astype(np.uint8)
+    batch = jax.device_put(host)
+
+    for _ in range(WARMUP):
+        res = end_to_end(batch)
+        jax.block_until_ready(res)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        res = end_to_end(batch)
+        jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+
+    ips = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "YOLOv5s-640 end-to-end images/sec/chip (preproc+infer+NMS)",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / A100_PT_BASELINE_IPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""CLI entry point: config -> datamodule -> model -> fit -> test.
+
+Same UX as the reference (run.py:70-118):
+
+    python -m objectdetectionpl_tpu.cli.run [configs/config.yaml] [--key value]...
+
+Any config field can be overridden on the command line with --key value.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from objectdetectionpl_tpu.config import load_config
+from objectdetectionpl_tpu.train.loop import Trainer
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("config", nargs="?", default=None,
+                   help="YAML config path (reference key surface)")
+    p.add_argument("--set", nargs=2, action="append", metavar=("KEY", "VALUE"),
+                   default=[], help="override a config field")
+    return p.parse_args(argv)
+
+
+def _coerce(v: str):
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    return v
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    overrides = {k: _coerce(v) for k, v in args.set}
+    cfg = load_config(args.config, overrides)
+
+    print(f"[run] model={cfg.model_name} dataset={cfg.data_module} "
+          f"img_size={cfg.effective_img_size} batch={cfg.batch_size} "
+          f"accum={cfg.accumulate_grad_batches}")
+    trainer = Trainer(cfg)
+    trainer.fit()
+    if cfg.test:
+        trainer.dm.setup("test")
+        results = trainer.test()
+        return results
+    return None
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -98,6 +98,7 @@ def anchor_nms(loc_preds, cls_preds, anchors_xywh, top_k: int = 100,
     Reference: model/SSD.py:249-310.
     """
     anchors_xywh = jnp.asarray(anchors_xywh)
+    top_k = min(top_k, int(anchors_xywh.shape[0]))
 
     def per_image(loc_p, cls_p):
         if decode is box_ops.ssd_decode:
@@ -184,7 +185,7 @@ def yolo_nms(predictions, conf_thres: float = 0.5, nms_thres: float = 0.4,
     IoU > nms_thres and matching label are conf-weighted-merged into the kept
     box. Reference: model/YOLOV5.py:157-218 (same in v2/v3/v4 files).
     """
-    num_attrs = predictions.shape[-1]
+    top_k = min(top_k, int(predictions.shape[1]))
 
     def per_image(pred):
         boxes = box_ops.xywh_to_xyxy(pred[:, :4])

@@ -1,0 +1,222 @@
+"""Trainer: config-driven fit/validate/test loop.
+
+The TPU-native equivalent of run.py's Lightning assembly (run.py:70-118) plus
+the monkey-patched step hooks (LightningFunc/step.py):
+
+- fit: epochs over the train loader with device-side augmentation, gradient
+  accumulation (stacked microbatches -> lax.scan inside the jitted step),
+  per-step loss scalars, per-epoch means, parameter histograms, LR scheduling
+  on val_loss, top-k checkpointing, early stopping, warm-start restore.
+- test: forward + batched NMS -> greedy TP matching -> ap_per_class mAP,
+  TB Test/* scalars + side-by-side GT/pred image panels + stdout table
+  (step.py:102-158).
+
+Differences from the reference (documented): augmentation runs on device; the
+train loop is steady-state jit (no per-epoch recompiles); both metric branches
+(mAP and the YOLO per-grid statistics) are computed for every model family.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from objectdetectionpl_tpu.config import Config
+from objectdetectionpl_tpu.data import build_datamodule
+from objectdetectionpl_tpu.data.augment import augment_batch
+from objectdetectionpl_tpu.models import build_model
+from objectdetectionpl_tpu.ops import boxes as box_ops
+from objectdetectionpl_tpu.ops import losses as loss_lib
+from objectdetectionpl_tpu.ops import metrics as metric_lib
+from objectdetectionpl_tpu.parallel import make_mesh, shard_batch
+from objectdetectionpl_tpu.train import checkpoint as ckpt_lib
+from objectdetectionpl_tpu.train import optim, state as state_lib, step as step_lib
+from objectdetectionpl_tpu.utils.logging import MetricWriter, log_param_histograms
+from objectdetectionpl_tpu.utils import summary as summary_lib
+from objectdetectionpl_tpu.utils import viz
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.dm = build_datamodule(cfg)
+        self.classes = self.dm.get_class()
+        self.num_classes = len(self.classes)
+        self.img_size = cfg.effective_img_size
+
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.model = build_model(cfg.model_name, self.num_classes,
+                                 dtype=dtype, yolov5_type=cfg.type)
+        self.loss_fn = loss_lib.make_loss(
+            cfg.model_name, self.num_classes, self.img_size,
+            coord_criterion=cfg.coord_criterion,
+            cls_criterion=cfg.cls_criterion)
+        self.tx = optim.build_optimizer(cfg)
+        self.scheduler = optim.build_scheduler(cfg)
+        self.mesh = make_mesh(shape=cfg.mesh_shape)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.state = state_lib.create_train_state(
+            self.model, self.tx, rng, self.img_size,
+            batch_size=max(cfg.batch_size, 1))
+        self.aug_rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        self.train_step = step_lib.make_train_step(
+            self.model, self.loss_fn, self.tx, cfg.accumulate_grad_batches)
+        self.eval_step = step_lib.make_eval_step(self.model, self.loss_fn)
+        self.postprocess = step_lib.make_postprocess(
+            cfg.model_name, self.num_classes, self.img_size)
+        self.predict_step = step_lib.make_predict_step(
+            self.model, self.postprocess)
+
+        # log_dir/<dataset>/<model> (run.py:85-86)
+        self.run_dir = os.path.join(cfg.log_dir, cfg.data_module,
+                                    cfg.model_name)
+        self.writer = MetricWriter(self.run_dir)
+        self.ckpt = ckpt_lib.CheckpointManager(
+            os.path.join(self.run_dir, "checkpoints"), cfg.save_top_k)
+        self.early_stop = ckpt_lib.EarlyStopping(cfg.early_stop_patience)
+        self.global_step = 0
+
+        try:
+            summary_lib.save_summary(self.model, self.img_size, self.run_dir)
+        except Exception:
+            pass
+
+    # ------------------------------------------------------------------ fit --
+
+    def maybe_restore(self):
+        """Warm-start from the best checkpoint if present (run.py:83 +
+        lightningUtils.py:26-37 — unlike the reference, the restore actually
+        takes effect)."""
+        restored = self.ckpt.restore(self.state)
+        if restored is not None:
+            self.state = restored
+            print(f"[trainer] restored best checkpoint "
+                  f"(step {self.ckpt.best_step()})")
+
+    def _device_batch(self, batch, augment: bool):
+        images = jnp.asarray(batch.images)
+        boxes = jnp.asarray(batch.boxes)
+        labels = jnp.asarray(batch.labels)
+        mask = jnp.asarray(batch.mask)
+        if augment:
+            self.aug_rng, sub = jax.random.split(self.aug_rng)
+            images, boxes, mask = augment_batch(sub, images, boxes, mask)
+        return images, labels, boxes, mask
+
+    def fit(self):
+        cfg = self.cfg
+        self.maybe_restore()
+        val_metric: Optional[float] = None
+
+        for epoch in range(cfg.max_epochs):
+            lr = self.scheduler.step(val_metric)
+            optim.set_learning_rate(self.state.opt_state, lr)
+            self.writer.scalar("lr-Adam" if cfg.optimizer == "Adam"
+                               else f"lr-{cfg.optimizer}", lr, epoch)
+
+            epoch_metrics: List[Dict[str, float]] = []
+            micro: List = []
+            t0 = time.time()
+            n_imgs = 0
+            for batch in self.dm.train_dataloader():
+                micro.append(self._device_batch(batch, augment=True))
+                if len(micro) < cfg.accumulate_grad_batches:
+                    continue
+                stacked = [jnp.stack([m[i] for m in micro])
+                           for i in range(4)]
+                micro = []
+                self.state, metrics = self.train_step(self.state, *stacked)
+                metrics = {k: float(v) for k, v in metrics.items()}
+                epoch_metrics.append(metrics)
+                n_imgs += stacked[0].shape[0] * stacked[0].shape[1]
+                for k, v in metrics.items():
+                    self.writer.scalar(f"Loss/{k}/Train", v, self.global_step)
+                self.global_step += 1
+
+            if epoch_metrics:
+                means = {k: float(np.mean([m[k] for m in epoch_metrics]))
+                         for k in epoch_metrics[0]}
+                self.writer.scalars("Epoch", {f"{k}/Train": v
+                                              for k, v in means.items()}, epoch)
+                dt = time.time() - t0
+                self.writer.scalar("throughput/images_per_sec",
+                                   n_imgs / max(dt, 1e-9), epoch)
+            log_param_histograms(self.writer, self.state.params, epoch,
+                                 max_tensors=50)
+
+            val_loss = self.validate(epoch)
+            val_metric = val_loss
+            if val_loss is not None:
+                self.ckpt.save(epoch, self.state, val_loss)
+                if self.early_stop.update(val_loss):
+                    print(f"[trainer] early stopping at epoch {epoch}")
+                    break
+            self.writer.flush()
+        return self.state
+
+    def validate(self, epoch: int) -> Optional[float]:
+        losses: List[Dict[str, float]] = []
+        for batch in self.dm.val_dataloader():
+            args = self._device_batch(batch, augment=False)
+            m = self.eval_step(self.state, *args)
+            losses.append({k: float(v) for k, v in m.items()})
+        if not losses:
+            return None
+        means = {k: float(np.mean([m[k] for m in losses])) for k in losses[0]}
+        self.writer.scalar("val_loss", means["loss"], epoch)
+        self.writer.scalars("Epoch", {f"{k}/Val": v for k, v in means.items()},
+                            epoch)
+        return means["loss"]
+
+    # ----------------------------------------------------------------- test --
+
+    def test(self) -> Dict[str, float]:
+        """mAP evaluation with NMS (test_step/test_epoch_end parity)."""
+        stats = []
+        target_classes: List[int] = []
+        panels = 0
+        for bi, batch in enumerate(self.dm.test_dataloader()):
+            images, labels, boxes, mask = self._device_batch(batch, False)
+            res = self.predict_step(self.state, images)
+
+            gt_xyxy = np.asarray(box_ops.xywh_to_xyxy(boxes)) * self.img_size
+            s = metric_lib.batch_statistics(
+                np.asarray(res.boxes), np.asarray(res.scores),
+                np.asarray(res.labels), np.asarray(res.valid),
+                gt_xyxy, np.asarray(labels), np.asarray(mask))
+            stats.append(s)
+            target_classes.extend(np.asarray(labels)[np.asarray(mask)].tolist())
+
+            if panels < 4:          # first images panel (step.py:152-158)
+                img = np.asarray(images[0])
+                gt_img = viz.draw_boxes(img, gt_xyxy[0], np.asarray(labels[0]),
+                                        self.classes,
+                                        valid=np.asarray(mask[0]))
+                pr_img = viz.draw_boxes(img, np.asarray(res.boxes[0]),
+                                        np.asarray(res.labels[0]),
+                                        self.classes,
+                                        valid=np.asarray(res.valid[0]))
+                self.writer.image(f"result/{panels}",
+                                  viz.side_by_side(gt_img, pr_img), panels)
+                panels += 1
+
+        results = metric_lib.evaluate_map(stats, np.asarray(target_classes))
+        for k in ("precision", "recall", "mAP", "f1"):
+            self.writer.scalar(f"Test/{k}", results[k], 0)
+
+        # stdout mAP table (step.py:126-130)
+        print("---- mAP per class ----")
+        for cid, ap in sorted(results["per_class_AP"].items()):
+            name = (self.classes[cid] if 0 <= cid < len(self.classes)
+                    else str(cid))
+            print(f"  {name}: {ap:.4f}")
+        print(f"mAP: {results['mAP']:.4f}")
+        self.writer.flush()
+        return results
