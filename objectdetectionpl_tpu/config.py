@@ -30,6 +30,8 @@ class Config:
     img_size: int = 0                 # 0 -> per-model default
     max_boxes: int = 100              # padded-target capacity (TPU static shape)
     num_workers: int = 0
+    letterbox: bool = False           # aspect-preserving resize + pad (v5 style)
+    mosaic: float = 0.0               # mosaic probability (train only)
 
     # model section (configs/config.yaml:24-32)
     model_name: str = "YOLOv5"

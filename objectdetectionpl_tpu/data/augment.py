@@ -131,3 +131,75 @@ def augment_batch(rng, images, boxes, mask, cfg: AugmentConfig = AugmentConfig()
     rngs = jax.random.split(rng, images.shape[0])
     return jax.vmap(lambda r, i, b, m: _augment_one(r, i, b, m, cfg))(
         rngs, images, boxes, mask)
+
+
+# --- mosaic (YOLOv5-style 4-way paste, device-side) --------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def mosaic_batch(rng, images, boxes, labels, mask, p: float = 0.5):
+    """4-image mosaic: output i pastes images (i..i+3 mod B) into the four
+    quadrants around a random center (the YOLOv5 mosaic the BASELINE config
+    names; the reference itself never implements it — its v5 pipeline uses
+    plain Resize, dataset/Pascal.py:213-229).
+
+    images [B,S,S,3]; boxes [B,M,4] center-norm; labels [B,M]; mask [B,M].
+    Box capacity: each output keeps the M largest-area candidate boxes of the
+    4M composited ones.  Applied with probability ``p`` per image.
+    """
+    B, S = images.shape[0], images.shape[1]
+    M = boxes.shape[1]
+    r_center, r_apply = jax.random.split(rng)
+    centers = jax.random.uniform(r_center, (B, 2), minval=0.3, maxval=0.7)
+    apply = jax.random.uniform(r_apply, (B,)) < p
+
+    def one(i, center):
+        cx, cy = center[0], center[1]
+        # quadrant origins/sizes in normalized coords: TL, TR, BL, BR
+        origins = jnp.stack([jnp.array([0.0, 0.0]), jnp.array([cx, 0.0]),
+                             jnp.array([0.0, cy]), jnp.stack([cx, cy])])
+        sizes = jnp.stack([jnp.stack([cx, cy]),
+                           jnp.stack([1 - cx, cy]),
+                           jnp.stack([cx, 1 - cy]),
+                           jnp.stack([1 - cx, 1 - cy])])
+
+        canvas = jnp.zeros_like(images[0])
+        out_boxes, out_labels, out_valid, out_area = [], [], [], []
+        ys = jnp.arange(S, dtype=jnp.float32)[:, None] / S
+        xs = jnp.arange(S, dtype=jnp.float32)[None, :] / S
+        for k in range(4):
+            src = jax.tree.map(lambda a: a[(i + k) % B],
+                               (images, boxes, labels, mask))
+            img_k, box_k, lab_k, msk_k = src
+            o, sz = origins[k], sizes[k]
+            scaled = jax.image.scale_and_translate(
+                img_k, (S, S, 3), (0, 1),
+                jnp.stack([sz[1], sz[0]]) ,
+                jnp.stack([o[1], o[0]]) * S, method="linear")
+            in_quad = ((xs >= o[0]) & (xs < o[0] + sz[0])
+                       & (ys >= o[1]) & (ys < o[1] + sz[1]))
+            canvas = jnp.where(in_quad[:, :, None], scaled, canvas)
+
+            nb = jnp.stack([o[0] + box_k[:, 0] * sz[0],
+                            o[1] + box_k[:, 1] * sz[1],
+                            box_k[:, 2] * sz[0],
+                            box_k[:, 3] * sz[1]], axis=-1)
+            out_boxes.append(nb)
+            out_labels.append(lab_k)
+            out_valid.append(msk_k)
+            out_area.append(jnp.where(msk_k, nb[:, 2] * nb[:, 3], -1.0))
+
+        all_boxes = jnp.concatenate(out_boxes)          # [4M, 4]
+        all_labels = jnp.concatenate(out_labels)
+        all_valid = jnp.concatenate(out_valid)
+        all_area = jnp.concatenate(out_area)
+        _, top = jax.lax.top_k(all_area, M)             # M largest boxes
+        return (canvas, all_boxes[top], all_labels[top],
+                all_valid[top] & (all_area[top] > 0))
+
+    m_imgs, m_boxes, m_labels, m_mask = jax.vmap(one)(
+        jnp.arange(B), centers)
+    sel = lambda a, b: jnp.where(
+        apply.reshape((B,) + (1,) * (a.ndim - 1)), a, b)
+    return (sel(m_imgs, images), sel(m_boxes, boxes),
+            sel(m_labels, labels), sel(m_mask, mask))

@@ -45,7 +45,7 @@ class DataModule:
         return Loader(parser, cfg.effective_img_size,
                       batch_size or cfg.batch_size, cfg.max_boxes,
                       shuffle=shuffle, seed=cfg.seed, indices=indices,
-                      limit_batches=limit)
+                      limit_batches=limit, letterbox=cfg.letterbox)
 
     def train_dataloader(self) -> Loader:
         return self._loader(self.train_parser, True, self.train_idx,

@@ -26,13 +26,40 @@ def _resize(img: np.ndarray, size: int) -> np.ndarray:
             Image.fromarray(img).resize((size, size), Image.BILINEAR))
 
 
+def _resize_letterbox(img: np.ndarray, size: int):
+    """Aspect-preserving resize + centered gray padding (YOLOv5 letterbox).
+
+    Returns (canvas, scale, pad_x, pad_y) in pixels.  The reference's v5
+    pipeline uses plain A.Resize (dataset/Pascal.py:213-229); letterbox is the
+    BASELINE.json v5 configuration.
+    """
+    h, w = img.shape[:2]
+    scale = size / max(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    resized = _resize_exact(img, nw, nh)
+    canvas = np.full((size, size, 3), 114, np.uint8)
+    pad_y, pad_x = (size - nh) // 2, (size - nw) // 2
+    canvas[pad_y:pad_y + nh, pad_x:pad_x + nw] = resized
+    return canvas, scale, pad_x, pad_y
+
+
+def _resize_exact(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    try:
+        import cv2
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        from PIL import Image
+        return np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
+
+
 class Loader:
     """Iterates padded batches over a parser (or an index subset of one)."""
 
     def __init__(self, parser, img_size: int, batch_size: int,
                  max_boxes: int = 100, shuffle: bool = False, seed: int = 0,
                  indices: Optional[Sequence[int]] = None,
-                 drop_last: bool = True, limit_batches: Optional[int] = None):
+                 drop_last: bool = True, limit_batches: Optional[int] = None,
+                 letterbox: bool = False):
         self.parser = parser
         self.img_size = img_size
         self.batch_size = batch_size
@@ -44,6 +71,7 @@ class Loader:
                         else np.arange(len(parser)))
         self.drop_last = drop_last
         self.limit_batches = limit_batches
+        self.letterbox = letterbox
 
     def __len__(self):
         n = len(self.indices) // self.batch_size
@@ -65,8 +93,20 @@ class Loader:
             for i in idx:
                 ex = self.parser[int(i)]
                 h, w = ex.image.shape[:2]
-                images.append(_resize(ex.image, self.img_size))
-                boxes_l.append(topleft_to_center_norm(ex.boxes, w, h))
+                if self.letterbox:
+                    canvas, s, px, py = _resize_letterbox(ex.image,
+                                                          self.img_size)
+                    images.append(canvas)
+                    bx = ex.boxes.astype(np.float32).reshape(-1, 4).copy()
+                    S = self.img_size
+                    bx = np.stack([
+                        ((bx[:, 0] + bx[:, 2] / 2) * s + px) / S,
+                        ((bx[:, 1] + bx[:, 3] / 2) * s + py) / S,
+                        bx[:, 2] * s / S, bx[:, 3] * s / S], -1)
+                    boxes_l.append(bx)
+                else:
+                    images.append(_resize(ex.image, self.img_size))
+                    boxes_l.append(topleft_to_center_norm(ex.boxes, w, h))
                 labels_l.append(ex.labels)
             imgs = (np.stack(images).astype(np.float32) / 255.0)
             boxes, labels, mask = pad_targets(boxes_l, labels_l, self.max_boxes)

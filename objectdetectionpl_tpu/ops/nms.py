@@ -51,44 +51,63 @@ def _greedy_nms_single(boxes, scores, labels, k: int, nms_thresh: float,
     """Greedy NMS over K pre-sorted candidates for one image.
 
     boxes [K, 4] xyxy sorted by descending score; scores [K] (<= NEG_INF for
-    invalid); labels [K].  Returns (boxes, scores, labels, keep_mask) where
-    ``merge`` additionally replaces kept boxes by conf-weighted merges.
+    invalid); labels [K].  Returns (boxes, keep_mask) where ``merge``
+    additionally replaces kept boxes by conf-weighted merges.
+
+    TPU formulation: the K x K IoU/label-match matrix is computed once, then
+    the inherently-serial greedy scan is a fori_loop of pure vector mask ops
+    (row selection via one-hot reductions — no dynamic gathers), so each
+    iteration is a handful of VPU ops over K lanes.
     """
     K = boxes.shape[0]
+    ids = jnp.arange(K)
+    iou_mat = iou_fn(boxes[:, None, :], boxes[None, :, :])    # [K, K]
+    over_mat = iou_mat > nms_thresh
+    if class_aware:
+        over_mat = over_mat & (labels[:, None] == labels[None, :])
+    valid = scores > NEG_INF
+    w_all = jnp.where(valid, obj_conf, 0.0) if merge else None
 
-    def body(i, state):
-        bxs, alive, keep = state
-        is_alive = alive[i] & (scores[i] > NEG_INF)
-        cur = bxs[i]
-        ious = iou_fn(cur[None, :], bxs)                      # [K]
-        over = ious > nms_thresh
-        if class_aware:
-            over = over & (labels == labels[i])
-        # candidates after i that this kept box suppresses
-        later = jnp.arange(K) > i
-        suppress = over & later & alive
+    # One while_loop iteration per *kept* box: `remaining` tracks candidates
+    # not yet claimed as a head or suppressed; the next head is the first
+    # remaining index (candidates are score-sorted).  Greedy order and
+    # results are identical to the naive K-iteration scan, but invalid /
+    # suppressed candidates cost zero iterations.
+    def cond(state):
+        return jnp.any(state[0])
 
+    def body(state):
+        remaining, alive, keep, out = state
+        head = jnp.argmax(remaining)              # first remaining index
+        sel = ids == head
+        row = over_mat[head]
         if merge:
-            # weighted merge over the suppressed group incl. self
-            grp = (over & alive) | (jnp.arange(K) == i)
-            w = jnp.where(grp, obj_conf, 0.0)[:, None]
-            merged = jnp.sum(w * bxs, axis=0) / jnp.maximum(
+            grp = (row & alive) | sel
+            w = jnp.where(grp, w_all, 0.0)[:, None]
+            merged = jnp.sum(w * boxes, axis=0) / jnp.maximum(
                 jnp.sum(w), 1e-16)
-            bxs = jnp.where(is_alive, bxs.at[i].set(merged), bxs)
+            out = jnp.where(sel[:, None], merged[None, :], out)
+        suppress = row & (ids > head) & alive
+        alive = alive & ~suppress
+        keep = keep | sel
+        remaining = remaining & ~suppress & ~sel
+        return remaining, alive, keep, out
 
-        alive = jnp.where(is_alive, alive & ~suppress, alive)
-        keep = keep.at[i].set(is_alive)
-        return bxs, alive, keep
+    init = (valid, jnp.ones((K,), bool), jnp.zeros((K,), bool), boxes)
+    _, _, keep, out = jax.lax.while_loop(cond, body, init)
+    return out, keep
 
-    init = (boxes, jnp.ones((K,), bool), jnp.zeros((K,), bool))
-    boxes, _, keep = jax.lax.fori_loop(0, K, body, init)
-    return boxes, keep
+
+def _use_pallas(flag):
+    if flag is not None:
+        return flag
+    return jax.default_backend() == "tpu"
 
 
 def anchor_nms(loc_preds, cls_preds, anchors_xywh, top_k: int = 100,
                nms_thresh: float = 0.5, class_thresh: float = 0.45,
                decode=box_ops.ssd_decode, use_variance: bool = False,
-               scale: float = 1.0) -> NMSResult:
+               scale: float = 1.0, use_pallas=None) -> NMSResult:
     """SSD/RetinaNet batched NMS.
 
     loc_preds [B, D, 4] offsets; cls_preds [B, D, C] logits; anchors_xywh [D, 4].
@@ -112,18 +131,26 @@ def anchor_nms(loc_preds, cls_preds, anchors_xywh, top_k: int = 100,
         score = jnp.where(score > class_thresh, score, NEG_INF)
 
         top_scores, idx = jax.lax.top_k(score, top_k)
-        top_boxes = boxes[idx]
-        top_labels = label[idx]
-        kept_boxes, keep = _greedy_nms_single(
-            top_boxes, top_scores, top_labels, top_k, nms_thresh,
-            lambda a, b: box_ops.iou_plus1(a, b), class_aware=False,
-            merge=False)
-        valid = keep & (top_scores > NEG_INF)
-        return kept_boxes, jnp.zeros_like(top_scores), top_scores, \
-            top_labels, valid
+        return boxes[idx], top_scores, label[idx]
 
-    b, o, s, l, v = jax.vmap(per_image)(loc_preds, cls_preds)
-    return NMSResult(b, o, jnp.where(v, s, 0.0), l, v)
+    top_boxes, top_scores, top_labels = jax.vmap(per_image)(
+        loc_preds, cls_preds)
+    if _use_pallas(use_pallas):
+        from objectdetectionpl_tpu.ops.pallas.nms_kernel import \
+            pallas_greedy_nms
+        kept_boxes, keep = pallas_greedy_nms(
+            top_boxes, top_scores, top_labels,
+            jnp.zeros_like(top_scores), nms_thresh=nms_thresh,
+            class_aware=False, merge=False, plus1=1.0)
+    else:
+        kept_boxes, keep = jax.vmap(
+            lambda b, s, l: _greedy_nms_single(
+                b, s, l, top_k, nms_thresh,
+                lambda x, y: box_ops.iou_plus1(x, y), class_aware=False,
+                merge=False))(top_boxes, top_scores, top_labels)
+    v = keep & (top_scores > NEG_INF)
+    return NMSResult(kept_boxes, jnp.zeros_like(top_scores),
+                     jnp.where(v, top_scores, 0.0), top_labels, v)
 
 
 def decode_yolo_predictions(outputs, anchors_px, strides, num_classes: int,
@@ -178,12 +205,13 @@ def decode_yolov5_predictions(outputs, anchors_px, strides, num_classes: int):
 
 
 def yolo_nms(predictions, conf_thres: float = 0.5, nms_thres: float = 0.4,
-             top_k: int = 300) -> NMSResult:
+             top_k: int = 300, use_pallas=None) -> NMSResult:
     """Batched YOLO weighted-merge NMS over decoded predictions [B, N, 5+C].
 
     Candidates are ranked by obj_conf * max_cls_conf, suppressed boxes with
     IoU > nms_thres and matching label are conf-weighted-merged into the kept
     box. Reference: model/YOLOV5.py:157-218 (same in v2/v3/v4 files).
+    On TPU the suppression scan runs as a Pallas kernel (ops/pallas/nms_kernel).
     """
     top_k = min(top_k, int(predictions.shape[1]))
 
@@ -194,14 +222,23 @@ def yolo_nms(predictions, conf_thres: float = 0.5, nms_thres: float = 0.4,
         label = jnp.argmax(pred[:, 5:], axis=-1).astype(jnp.int32)
         score = obj * cls_conf
         score = jnp.where(obj >= conf_thres, score, NEG_INF)
-
         top_scores, idx = jax.lax.top_k(score, top_k)
-        kept_boxes, keep = _greedy_nms_single(
-            boxes[idx], top_scores, label[idx], top_k, nms_thres,
-            lambda a, b: box_ops.iou_plus1(a, b), class_aware=True,
-            merge=True, obj_conf=jnp.where(top_scores > NEG_INF, obj[idx], 0.0))
-        valid = keep & (top_scores > NEG_INF)
-        return kept_boxes, obj[idx], cls_conf[idx], label[idx], valid
+        return boxes[idx], top_scores, label[idx], obj[idx], cls_conf[idx]
 
-    b, o, c, l, v = jax.vmap(per_image)(predictions)
-    return NMSResult(b, jnp.where(v, o, 0.0), jnp.where(v, c, 0.0), l, v)
+    tb, ts, tl, to, tc = jax.vmap(per_image)(predictions)
+    obj_w = jnp.where(ts > NEG_INF, to, 0.0)
+    if _use_pallas(use_pallas):
+        from objectdetectionpl_tpu.ops.pallas.nms_kernel import \
+            pallas_greedy_nms
+        kept_boxes, keep = pallas_greedy_nms(
+            tb, ts, tl, obj_w, nms_thresh=nms_thres, class_aware=True,
+            merge=True, plus1=1.0)
+    else:
+        kept_boxes, keep = jax.vmap(
+            lambda b, s, l, o: _greedy_nms_single(
+                b, s, l, top_k, nms_thres,
+                lambda x, y: box_ops.iou_plus1(x, y), class_aware=True,
+                merge=True, obj_conf=o))(tb, ts, tl, obj_w)
+    v = keep & (ts > NEG_INF)
+    return NMSResult(kept_boxes, jnp.where(v, to, 0.0),
+                     jnp.where(v, tc, 0.0), tl, v)

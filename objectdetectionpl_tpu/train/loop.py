@@ -106,6 +106,11 @@ class Trainer:
         labels = jnp.asarray(batch.labels)
         mask = jnp.asarray(batch.mask)
         if augment:
+            if self.cfg.mosaic > 0:
+                from objectdetectionpl_tpu.data.augment import mosaic_batch
+                self.aug_rng, sub = jax.random.split(self.aug_rng)
+                images, boxes, labels, mask = mosaic_batch(
+                    sub, images, boxes, labels, mask, p=self.cfg.mosaic)
             self.aug_rng, sub = jax.random.split(self.aug_rng)
             images, boxes, mask = augment_batch(sub, images, boxes, mask)
         return images, labels, boxes, mask
@@ -177,14 +182,47 @@ class Trainer:
 
     # ----------------------------------------------------------------- test --
 
+    def _yolo_stat_fn(self):
+        """Jitted per-grid statistics for the YOLO families
+        (test_epoch_end branch 2 parity, step.py:131-149)."""
+        from objectdetectionpl_tpu.ops import anchors as anchor_lib
+        from objectdetectionpl_tpu.ops import yolo_stats
+        cfg = self.cfg
+        if cfg.model_name == "YOLOv2":
+            per_scale = [anchor_lib.YOLOV2_ANCHORS]
+        elif cfg.model_name == "YOLOv3":
+            per_scale = [anchor_lib.YOLOV3_ANCHORS[i] / s
+                         for i, s in enumerate(anchor_lib.YOLOV3_STRIDES)]
+        elif cfg.model_name == "YOLOv4":
+            per_scale = [anchor_lib.YOLOV4_ANCHORS[list(m)] / s
+                         for m, s in zip(anchor_lib.YOLOV4_ANCH_MASKS,
+                                         anchor_lib.YOLOV4_STRIDES)]
+        else:
+            return None
+
+        @jax.jit
+        def stat_fn(state, images, labels, boxes, mask):
+            out = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                images, train=False)
+            return yolo_stats.yolo_statistics(out, labels, boxes, mask,
+                                              per_scale, self.num_classes)
+        return stat_fn
+
     def test(self) -> Dict[str, float]:
         """mAP evaluation with NMS (test_step/test_epoch_end parity)."""
         stats = []
         target_classes: List[int] = []
         panels = 0
+        yolo_stat_fn = self._yolo_stat_fn()
+        yolo_stats_acc: List[Dict] = []
         for bi, batch in enumerate(self.dm.test_dataloader()):
             images, labels, boxes, mask = self._device_batch(batch, False)
             res = self.predict_step(self.state, images)
+            if yolo_stat_fn is not None:
+                yolo_stats_acc.append(jax.tree.map(
+                    float, yolo_stat_fn(self.state, images, labels, boxes,
+                                        mask)))
 
             gt_xyxy = np.asarray(box_ops.xywh_to_xyxy(boxes)) * self.img_size
             s = metric_lib.batch_statistics(
@@ -210,6 +248,14 @@ class Trainer:
         results = metric_lib.evaluate_map(stats, np.asarray(target_classes))
         for k in ("precision", "recall", "mAP", "f1"):
             self.writer.scalar(f"Test/{k}", results[k], 0)
+
+        # YOLO per-grid-scale means (step.py:131-149)
+        if yolo_stats_acc:
+            for g in yolo_stats_acc[0]:
+                for key in yolo_stats_acc[0][g]:
+                    mean_v = float(np.mean([s[g][key] for s in yolo_stats_acc]))
+                    self.writer.scalar(f"Test/{g}/{key}", mean_v, 0)
+                    results[f"{g}/{key}"] = mean_v
 
         # stdout mAP table (step.py:126-130)
         print("---- mAP per class ----")

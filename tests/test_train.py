@@ -1,0 +1,161 @@
+"""Training-stack tests: config, optimizers/schedulers, checkpointing,
+multi-device train step, mosaic/letterbox, yolo statistics."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from objectdetectionpl_tpu.config import Config, load_config
+from objectdetectionpl_tpu.train import optim
+
+
+def test_config_yaml_flatten_order(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("""
+a_section:
+    max_epochs: 100
+    lr: 0.5
+z_section:
+    max_epochs: 2
+""")
+    cfg = load_config(str(p))
+    assert cfg.max_epochs == 2          # later section overrides (run.py:26-34)
+    assert cfg.lr == 0.5
+
+
+def test_config_model_img_size_defaults():
+    assert Config(model_name="SSD").effective_img_size == 300
+    assert Config(model_name="RetinaNet").effective_img_size == 600
+    assert Config(model_name="YOLOv5").effective_img_size == 640
+    assert Config(model_name="YOLOv3").effective_img_size == 416
+    assert Config(model_name="YOLOv3", img_size=512).effective_img_size == 512
+
+
+@pytest.mark.parametrize("opt", ["Adam", "Adagrad", "RMSprop", "SGD"])
+def test_optimizers_step(opt):
+    cfg = Config(optimizer=opt, lr=1e-2)
+    tx = optim.build_optimizer(cfg)
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+    grads = {"w": jnp.ones((4,))}
+    updates, state = tx.update(grads, state, params)
+    new = jax.tree.map(jnp.add, params, updates)
+    assert float(new["w"][0]) < 1.0     # moved against the gradient
+
+
+def test_adam_matches_torch_step():
+    """First Adam step parity vs torch (L2 weight decay semantics)."""
+    import torch
+    w0, g = 0.7, 0.3
+    lr, wd = 1e-2, 1e-2
+    tw = torch.nn.Parameter(torch.tensor([w0]))
+    topt = torch.optim.Adam([tw], lr=lr, weight_decay=wd)
+    tw.grad = torch.tensor([g])
+    topt.step()
+
+    cfg = Config(optimizer="Adam", lr=lr, weight_decay=wd)
+    tx = optim.build_optimizer(cfg)
+    params = {"w": jnp.asarray([w0])}
+    state = tx.init(params)
+    updates, state = tx.update({"w": jnp.asarray([g])}, state, params)
+    got = float(params["w"][0] + updates["w"][0])
+    np.testing.assert_allclose(got, float(tw.data[0]), rtol=1e-5)
+
+
+@pytest.mark.parametrize("sched,epochs,expected", [
+    ("StepLR", 4, [1.0, 1.0, 1.0, 0.8]),
+    ("ExponentialLR", 3, [1.0, 0.99, 0.99 ** 2]),
+    ("MultiStepLR", 2, [1.0, 1.0]),
+    ("LambdaLR", 2, [1.0, 1.0]),
+])
+def test_schedulers(sched, epochs, expected):
+    cfg = Config(lr=1.0, lr_scheduler=sched)
+    s = optim.build_scheduler(cfg)
+    got = [s.step(None) for _ in range(epochs)]
+    np.testing.assert_allclose(got, expected, rtol=1e-9)
+
+
+def test_plateau_scheduler_reduces():
+    cfg = Config(lr=1.0, lr_scheduler="ReduceLROnPlateau", patience=1,
+                 threshold=0.0)
+    s = optim.build_scheduler(cfg)
+    lrs = [s.step(m) for m in [1.0, 0.9, 0.8, 0.7]]   # mode max: worsening
+    assert lrs[-1] < 1.0
+
+
+def test_early_stopping():
+    from objectdetectionpl_tpu.train.checkpoint import EarlyStopping
+    es = EarlyStopping(patience=2)
+    assert not es.update(1.0)
+    assert not es.update(1.1)
+    assert es.update(1.2)               # 2 bad epochs -> stop
+
+
+def test_checkpoint_topk_and_best_path(tmp_path):
+    from objectdetectionpl_tpu.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_top_k=2)
+    state = {"w": jnp.ones((3,)), "step": jnp.asarray(0)}
+    for step, loss in [(0, 5.0), (1, 3.0), (2, 4.0)]:
+        mgr.save(step, {**state, "step": jnp.asarray(step)}, loss)
+    assert mgr.best_step() == 1
+    best = mgr.restore(state)
+    assert int(best["step"]) == 1
+    assert mgr.read_best_model_path() is not None
+    mgr.close()
+
+
+def test_multidevice_train_step():
+    """Full sharded train step on the 8-virtual-device CPU mesh."""
+    import __graft_entry__ as g
+    assert len(jax.devices()) >= 8
+    g.dryrun_multichip(8)
+
+
+def test_mosaic_batch(rng):
+    from objectdetectionpl_tpu.data.augment import mosaic_batch
+    B, S, M = 4, 64, 6
+    images = jnp.asarray(rng.rand(B, S, S, 3), jnp.float32)
+    boxes = jnp.asarray(np.tile(np.asarray([0.5, 0.5, 0.4, 0.4], np.float32),
+                                (B, M, 1)))
+    labels = jnp.asarray(rng.randint(0, 3, (B, M)), jnp.int32)
+    mask = jnp.asarray(np.ones((B, M), bool))
+    mi, mb, ml, mm = mosaic_batch(jax.random.PRNGKey(0), images, boxes,
+                                  labels, mask, p=1.0)
+    assert mi.shape == images.shape
+    v = np.asarray(mb)[np.asarray(mm)]
+    assert v.shape[0] > 0
+    assert (v >= -1e-6).all() and (v <= 1 + 1e-6).all()
+
+
+def test_letterbox_loader(rng):
+    from objectdetectionpl_tpu.data.pipeline import Loader
+    from objectdetectionpl_tpu.data.synthetic import SyntheticParser
+    p = SyntheticParser(4, img_hw=100)          # non-square-friendly size
+    loader = Loader(p, img_size=64, batch_size=2, max_boxes=8, letterbox=True)
+    b = next(iter(loader))
+    assert b.images.shape == (2, 64, 64, 3)
+    v = b.boxes[b.mask]
+    assert (v >= 0).all() and (v <= 1).all()
+
+
+def test_yolo_statistics_shapes(rng):
+    from objectdetectionpl_tpu.ops import anchors as anchor_lib
+    from objectdetectionpl_tpu.ops.yolo_stats import yolo_statistics
+    from tests.conftest import make_padded_targets
+    B, C = 2, 4
+    labels, boxes, mask = make_padded_targets(rng, B, 5, C)
+    outs = [jnp.asarray(rng.randn(B, 3 * (5 + C), g, g), jnp.float32)
+            for g in (13, 26, 52)]
+    per_scale = [anchor_lib.YOLOV3_ANCHORS[i] / s
+                 for i, s in enumerate(anchor_lib.YOLOV3_STRIDES)]
+    stats = yolo_statistics(outs, jnp.asarray(labels), jnp.asarray(boxes),
+                            jnp.asarray(mask), per_scale, C)
+    assert set(stats.keys()) == {13, 26, 52}
+    for g in stats:
+        for k in ("cls_acc", "recall50", "recall75", "precision",
+                  "conf_obj", "conf_noobj"):
+            assert np.isfinite(float(stats[g][k]))
