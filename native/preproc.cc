@@ -1,0 +1,113 @@
+// Native host-side image preprocessing for the TPU detection framework.
+//
+// The reference outsources its host hot loop to native library code —
+// cv2.resize + 5 forked dataloader workers (dataset/Pascal.py:255-276,
+// SURVEY.md §3.1 "CPU hot loop").  This is the equivalent native layer for
+// the rebuild: multithreaded bilinear resize / letterbox straight into the
+// padded float32 NHWC batch the device consumes, exposed over a C ABI for
+// ctypes (no pybind11 in this environment).
+//
+// Build: `make -C native` -> native/libpreproc.so
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Bilinear sample of one channel at (fy, fx) from an HxWx3 u8 image.
+inline float bilinear(const uint8_t* img, int h, int w, float fy, float fx,
+                      int c) {
+  fy = std::max(0.0f, std::min(fy, static_cast<float>(h - 1)));
+  fx = std::max(0.0f, std::min(fx, static_cast<float>(w - 1)));
+  const int y0 = static_cast<int>(fy);
+  const int x0 = static_cast<int>(fx);
+  const int y1 = std::min(y0 + 1, h - 1);
+  const int x1 = std::min(x0 + 1, w - 1);
+  const float dy = fy - y0;
+  const float dx = fx - x0;
+  const float v00 = img[(y0 * w + x0) * 3 + c];
+  const float v01 = img[(y0 * w + x1) * 3 + c];
+  const float v10 = img[(y1 * w + x0) * 3 + c];
+  const float v11 = img[(y1 * w + x1) * 3 + c];
+  return v00 * (1 - dy) * (1 - dx) + v01 * (1 - dy) * dx +
+         v10 * dy * (1 - dx) + v11 * dy * dx;
+}
+
+// Resize src (h x w x 3 u8) into dst (S x S x 3 f32, already scaled /255).
+// With letterbox: aspect-preserving, centered, gray 114 padding; returns the
+// scale and pads so the caller can transform boxes identically to the
+// Python path (data/pipeline.py::_resize_letterbox).
+void resize_one(const uint8_t* src, int h, int w, float* dst, int S,
+                bool letterbox, float* scale_out, float* padx_out,
+                float* pady_out) {
+  if (!letterbox) {
+    const float sy = static_cast<float>(h) / S;
+    const float sx = static_cast<float>(w) / S;
+    for (int y = 0; y < S; ++y) {
+      // cv2.INTER_LINEAR convention: sample at (i + 0.5) * scale - 0.5
+      const float fy = (y + 0.5f) * sy - 0.5f;
+      for (int x = 0; x < S; ++x) {
+        const float fx = (x + 0.5f) * sx - 0.5f;
+        float* out = dst + (y * S + x) * 3;
+        for (int c = 0; c < 3; ++c)
+          out[c] = bilinear(src, h, w, fy, fx, c) * (1.0f / 255.0f);
+      }
+    }
+    *scale_out = 1.0f;
+    *padx_out = 0.0f;
+    *pady_out = 0.0f;
+    return;
+  }
+
+  const float scale = static_cast<float>(S) / std::max(h, w);
+  const int nh = static_cast<int>(h * scale + 0.5f);
+  const int nw = static_cast<int>(w * scale + 0.5f);
+  const int pad_y = (S - nh) / 2;
+  const int pad_x = (S - nw) / 2;
+  const float gray = 114.0f / 255.0f;
+  for (int i = 0; i < S * S * 3; ++i) dst[i] = gray;
+  const float sy = static_cast<float>(h) / nh;
+  const float sx = static_cast<float>(w) / nw;
+  for (int y = 0; y < nh; ++y) {
+    const float fy = (y + 0.5f) * sy - 0.5f;
+    for (int x = 0; x < nw; ++x) {
+      const float fx = (x + 0.5f) * sx - 0.5f;
+      float* out = dst + ((y + pad_y) * S + (x + pad_x)) * 3;
+      for (int c = 0; c < 3; ++c)
+        out[c] = bilinear(src, h, w, fy, fx, c) * (1.0f / 255.0f);
+    }
+  }
+  *scale_out = scale;
+  *padx_out = static_cast<float>(pad_x);
+  *pady_out = static_cast<float>(pad_y);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pack N variable-size u8 RGB images into a float32 NHWC batch [N, S, S, 3]
+// in [0, 1], resizing (or letterboxing) each, using up to `threads` worker
+// threads.  `srcs` are N image pointers; `hs`/`ws` their sizes.  Outputs
+// per-image (scale, pad_x, pad_y) for box transforms.
+void preproc_batch(const uint8_t** srcs, const int* hs, const int* ws, int n,
+                   float* dst, int S, int letterbox, int threads,
+                   float* scales, float* pad_xs, float* pad_ys) {
+  const int nt = std::max(1, std::min(threads, n));
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    pool.emplace_back([=]() {
+      for (int i = t; i < n; i += nt) {
+        resize_one(srcs[i], hs[i], ws[i], dst + static_cast<int64_t>(i) * S * S * 3,
+                   S, letterbox != 0, &scales[i], &pad_xs[i], &pad_ys[i]);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

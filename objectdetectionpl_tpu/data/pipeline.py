@@ -86,31 +86,56 @@ class Loader:
             rng.shuffle(order)
         self.epoch += 1
 
+        from objectdetectionpl_tpu.data import native
+
         n_batches = len(self)
+        use_native = native.available()
+        S = self.img_size
         for b in range(n_batches):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-            images, boxes_l, labels_l = [], [], []
-            for i in idx:
-                ex = self.parser[int(i)]
-                h, w = ex.image.shape[:2]
-                if self.letterbox:
-                    canvas, s, px, py = _resize_letterbox(ex.image,
-                                                          self.img_size)
-                    images.append(canvas)
-                    bx = ex.boxes.astype(np.float32).reshape(-1, 4).copy()
-                    S = self.img_size
-                    bx = np.stack([
-                        ((bx[:, 0] + bx[:, 2] / 2) * s + px) / S,
-                        ((bx[:, 1] + bx[:, 3] / 2) * s + py) / S,
-                        bx[:, 2] * s / S, bx[:, 3] * s / S], -1)
-                    boxes_l.append(bx)
-                else:
-                    images.append(_resize(ex.image, self.img_size))
-                    boxes_l.append(topleft_to_center_norm(ex.boxes, w, h))
-                labels_l.append(ex.labels)
-            imgs = (np.stack(images).astype(np.float32) / 255.0)
+            examples = [self.parser[int(i)] for i in idx]
+            labels_l = [ex.labels for ex in examples]
+            boxes_l = []
+
+            if use_native:
+                packed = native.preproc_batch(
+                    [ex.image for ex in examples], S, self.letterbox)
+            else:
+                packed = None
+
+            if packed is not None:
+                imgs, scales, pad_xs, pad_ys = packed
+                for ex, s, px, py in zip(examples, scales, pad_xs, pad_ys):
+                    h, w = ex.image.shape[:2]
+                    if self.letterbox:
+                        boxes_l.append(_letterbox_boxes(ex.boxes, s, px, py, S))
+                    else:
+                        boxes_l.append(topleft_to_center_norm(ex.boxes, w, h))
+            else:
+                images = []
+                for ex in examples:
+                    h, w = ex.image.shape[:2]
+                    if self.letterbox:
+                        canvas, s, px, py = _resize_letterbox(ex.image, S)
+                        images.append(canvas)
+                        boxes_l.append(_letterbox_boxes(ex.boxes, s, px, py, S))
+                    else:
+                        images.append(_resize(ex.image, S))
+                        boxes_l.append(topleft_to_center_norm(ex.boxes, w, h))
+                imgs = (np.stack(images).astype(np.float32) / 255.0)
+
             boxes, labels, mask = pad_targets(boxes_l, labels_l, self.max_boxes)
             yield Batch(imgs, labels, boxes, mask)
+
+
+def _letterbox_boxes(boxes_px: np.ndarray, s: float, px: float, py: float,
+                     S: int) -> np.ndarray:
+    """Top-left pixel xywh -> normalized center xywh under letterbox."""
+    bx = boxes_px.astype(np.float32).reshape(-1, 4)
+    return np.stack([
+        ((bx[:, 0] + bx[:, 2] / 2) * s + px) / S,
+        ((bx[:, 1] + bx[:, 3] / 2) * s + py) / S,
+        bx[:, 2] * s / S, bx[:, 3] * s / S], -1)
 
 
 def random_split_indices(n: int, frac: float = 0.8, seed: int = 42):
