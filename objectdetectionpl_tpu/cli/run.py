@@ -45,6 +45,16 @@ def main(argv=None):
           f"img_size={cfg.effective_img_size} batch={cfg.batch_size} "
           f"accum={cfg.accumulate_grad_batches}")
     trainer = Trainer(cfg)
+    if cfg.tune:
+        from objectdetectionpl_tpu.train import tune
+        if cfg.auto_lr_find:
+            lr = tune.auto_lr_find(trainer)
+            print(f"[tune] auto_lr_find suggests lr={lr:.2e}")
+            trainer.scheduler.base_lr = lr
+            cfg.lr = lr
+        if cfg.auto_scale_batch_size == "power":
+            bs = tune.auto_scale_batch_size(trainer, start=cfg.batch_size)
+            print(f"[tune] auto_scale_batch_size suggests batch_size={bs}")
     trainer.fit()
     if cfg.test:
         trainer.dm.setup("test")

@@ -72,6 +72,8 @@ class Config:
 
     # TPU-native knobs (no reference equivalent)
     compute_dtype: str = "float32"    # "bfloat16" for MXU-friendly compute
+    ema_decay: float = 0.0            # param EMA for eval/serving (0 = off)
+    profile_steps: int = 0            # trace this many train steps to TB
     mesh_shape: Optional[Sequence[int]] = None   # None -> all devices on 'data'
     seed: int = 0
     synthetic_size: int = 64          # examples in the synthetic dataset

@@ -63,11 +63,12 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         self.state = state_lib.create_train_state(
             self.model, self.tx, rng, self.img_size,
-            batch_size=max(cfg.batch_size, 1))
+            batch_size=max(cfg.batch_size, 1), ema_decay=cfg.ema_decay)
         self.aug_rng = jax.random.PRNGKey(cfg.seed + 1)
 
         self.train_step = step_lib.make_train_step(
-            self.model, self.loss_fn, self.tx, cfg.accumulate_grad_batches)
+            self.model, self.loss_fn, self.tx, cfg.accumulate_grad_batches,
+            ema_decay=cfg.ema_decay)
         self.eval_step = step_lib.make_eval_step(self.model, self.loss_fn)
         self.postprocess = step_lib.make_postprocess(
             cfg.model_name, self.num_classes, self.img_size)
@@ -94,7 +95,11 @@ class Trainer:
         """Warm-start from the best checkpoint if present (run.py:83 +
         lightningUtils.py:26-37 — unlike the reference, the restore actually
         takes effect)."""
-        restored = self.ckpt.restore(self.state)
+        try:
+            restored = self.ckpt.restore(self.state)
+        except Exception as e:  # e.g. stale checkpoint with a different tree
+            print(f"[trainer] checkpoint restore skipped: {type(e).__name__}")
+            return
         if restored is not None:
             self.state = restored
             print(f"[trainer] restored best checkpoint "
@@ -130,6 +135,9 @@ class Trainer:
             micro: List = []
             t0 = time.time()
             n_imgs = 0
+            profiling = (cfg.profile_steps > 0 and epoch == 0)
+            if profiling:
+                jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
             for batch in self.dm.train_dataloader():
                 micro.append(self._device_batch(batch, augment=True))
                 if len(micro) < cfg.accumulate_grad_batches:
@@ -138,6 +146,10 @@ class Trainer:
                            for i in range(4)]
                 micro = []
                 self.state, metrics = self.train_step(self.state, *stacked)
+                if profiling and self.global_step + 1 >= cfg.profile_steps:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    profiling = False
                 metrics = {k: float(v) for k, v in metrics.items()}
                 epoch_metrics.append(metrics)
                 n_imgs += stacked[0].shape[0] * stacked[0].shape[1]
@@ -155,6 +167,9 @@ class Trainer:
                                    n_imgs / max(dt, 1e-9), epoch)
             log_param_histograms(self.writer, self.state.params, epoch,
                                  max_tensors=50)
+
+            if profiling:      # epoch shorter than profile_steps
+                jax.profiler.stop_trace()
 
             val_loss = self.validate(epoch)
             val_metric = val_loss

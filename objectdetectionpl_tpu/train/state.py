@@ -21,10 +21,16 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     rng: jax.Array
+    ema_params: Any = None      # exponential moving average (None = disabled)
+
+    @property
+    def eval_params(self):
+        """Parameters to evaluate/serve with (EMA when enabled)."""
+        return self.ema_params if self.ema_params is not None else self.params
 
 
 def create_train_state(model, tx, rng, img_size: int, batch_size: int = 1,
-                       dtype=jnp.float32) -> TrainState:
+                       dtype=jnp.float32, ema_decay: float = 0.0) -> TrainState:
     """Initialize model variables and optimizer state."""
     init_rng, state_rng = jax.random.split(rng)
     x = jnp.zeros((batch_size, img_size, img_size, 3), dtype)
@@ -37,6 +43,7 @@ def create_train_state(model, tx, rng, img_size: int, batch_size: int = 1,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
         rng=state_rng,
+        ema_params=jax.tree.map(jnp.copy, params) if ema_decay > 0 else None,
     )
 
 

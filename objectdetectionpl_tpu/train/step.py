@@ -27,7 +27,7 @@ from objectdetectionpl_tpu.train.state import TrainState
 
 
 def make_train_step(model, loss_fn: Callable, tx,
-                    accum_steps: int = 1) -> Callable:
+                    accum_steps: int = 1, ema_decay: float = 0.0) -> Callable:
     """Returns jitted ``(state, images, labels, boxes, mask) -> (state, metrics)``.
 
     images: [A, mB, S, S, 3]; labels/boxes/mask: [A, mB, ...] with A == accum_steps.
@@ -60,9 +60,14 @@ def make_train_step(model, loss_fn: Callable, tx,
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree.map(jnp.add, state.params, updates)
+        ema = state.ema_params
+        if ema is not None and ema_decay > 0:
+            ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                ema, params)
         new_state = state.replace(step=state.step + 1, params=params,
                                   batch_stats=batch_stats,
-                                  opt_state=opt_state)
+                                  opt_state=opt_state, ema_params=ema)
         return new_state, jax.tree.map(jnp.mean, metrics)
 
     return train_step
@@ -75,7 +80,7 @@ def make_eval_step(model, loss_fn: Callable) -> Callable:
     @jax.jit
     def eval_step(state: TrainState, images, labels, boxes, mask):
         out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": state.eval_params, "batch_stats": state.batch_stats},
             images, train=False)
         return loss_fn(out, labels, boxes, mask)
 
@@ -89,7 +94,7 @@ def make_predict_step(model, postprocess: Callable) -> Callable:
     @jax.jit
     def predict_step(state: TrainState, images):
         out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": state.eval_params, "batch_stats": state.batch_stats},
             images, train=False)
         return postprocess(out)
 

@@ -1,0 +1,82 @@
+"""torch -> flax weight conversion for pretrained backbones.
+
+The reference initializes SSD from torchvision's pretrained VGG16
+(model/SSD.py:46 ``vgg16(pretrained=True)``).  This environment has no
+torchvision / no egress, so backbones default to from-scratch training; this
+module provides the conversion path for when a torch checkpoint (state_dict)
+IS available, so pretrained-weight capability survives the port.
+
+Conventions: torch conv [O, I, kh, kw] -> flax kernel [kh, kw, I, O]; linear
+[O, I] -> [I, O]; BatchNorm weight/bias -> scale/bias, running stats ->
+batch_stats.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+# torchvision vgg16.features conv layer indices ('D' config).
+VGG16_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+
+
+def conv_to_flax(w: np.ndarray) -> np.ndarray:
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def load_vgg16_into_ssd(params, state_dict: Dict[str, np.ndarray]):
+    """Copy torchvision vgg16.features weights into SSD's VGG stacks.
+
+    params: the SSD model's flax params (mutated copy returned).
+    state_dict: torch state_dict with ``features.<i>.weight/bias`` keys
+    (a full torchvision vgg16 state_dict also works).
+
+    Our SSD splits VGG into _VGGStack_0 (10 convs, through conv4_3) and
+    _VGGStack_1 (3 convs, conv5_x) — see models/ssd.py; each conv lives in a
+    ``ConvBN_<j>`` submodule holding a single ``Conv_0``.
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(
+        flax.core.unfreeze(params), sep="/")
+    prefix = "features."
+    sd = {k[len(prefix):] if k.startswith(prefix) else k: v
+          for k, v in state_dict.items()}
+
+    stacks = [("_VGGStack_0", VGG16_CONV_IDX[:10]),
+              ("_VGGStack_1", VGG16_CONV_IDX[10:])]
+    n_loaded = 0
+    for stack_name, conv_ids in stacks:
+        for j, ti in enumerate(conv_ids):
+            w = sd.get(f"{ti}.weight")
+            b = sd.get(f"{ti}.bias")
+            if w is None:
+                continue
+            key_w = f"{stack_name}/ConvBN_{j}/Conv_0/kernel"
+            key_b = f"{stack_name}/ConvBN_{j}/Conv_0/bias"
+            if key_w not in flat:
+                raise KeyError(f"flax param {key_w} not found; "
+                               f"have {sorted(k for k in flat if stack_name in k)[:5]}")
+            assert flat[key_w].shape == conv_to_flax(w).shape, (
+                key_w, flat[key_w].shape, w.shape)
+            flat[key_w] = conv_to_flax(w)
+            if b is not None and key_b in flat:
+                flat[key_b] = np.asarray(b)
+            n_loaded += 1
+    return (flax.core.freeze(flax.traverse_util.unflatten_dict(
+        {tuple(k.split("/")): v for k, v in flat.items()})), n_loaded)
+
+
+def convert_generic_conv_bn(torch_prefix: str, state_dict,
+                            ) -> Tuple[np.ndarray, dict]:
+    """Helper: (conv kernel, {scale, bias, mean, var}) for a torch
+    conv+bn pair named ``<prefix>.conv`` / ``<prefix>.bn``."""
+    w = conv_to_flax(state_dict[f"{torch_prefix}.conv.weight"])
+    bn = {
+        "scale": np.asarray(state_dict[f"{torch_prefix}.bn.weight"]),
+        "bias": np.asarray(state_dict[f"{torch_prefix}.bn.bias"]),
+        "mean": np.asarray(state_dict[f"{torch_prefix}.bn.running_mean"]),
+        "var": np.asarray(state_dict[f"{torch_prefix}.bn.running_var"]),
+    }
+    return w, bn
