@@ -1,0 +1,54 @@
+"""Serving export: jitted end-to-end inference -> serialized StableHLO.
+
+No reference equivalent (the reference serves nothing); this is the
+TPU-native deployment path: the whole pipeline (normalize -> forward ->
+decode -> NMS) exports as one portable StableHLO artifact loadable without
+the framework (jax.export round-trip).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def build_inference_fn(model, variables, postprocess):
+    """uint8 [B, S, S, 3] -> NMSResult, the full serving graph."""
+
+    def fn(raw_uint8):
+        images = raw_uint8.astype(model.dtype) / 255.0
+        out = model.apply(variables, images, train=False)
+        # plain tuple (boxes, obj, scores, labels, valid): jax.export cannot
+        # serialize custom NamedTuple pytree nodes
+        return tuple(postprocess(out))
+
+    return fn
+
+
+def export_serialized(fn, batch: int, img_size: int) -> bytes:
+    """Serialize the jitted inference fn to portable bytes (StableHLO)."""
+    from jax import export as jexport
+
+    spec = jax.ShapeDtypeStruct((batch, img_size, img_size, 3), jnp.uint8)
+    exported = jexport.export(jax.jit(fn))(spec)
+    return exported.serialize()
+
+
+def load_serialized(blob: bytes):
+    """Deserialize and return a callable (runs via jax on any backend)."""
+    from jax import export as jexport
+
+    exported = jexport.deserialize(blob)
+    return lambda x: exported.call(x)
+
+
+def save(path: str, fn, batch: int, img_size: int):
+    with open(path, "wb") as f:
+        f.write(export_serialized(fn, batch, img_size))
+
+
+def load(path: str):
+    with open(path, "rb") as f:
+        return load_serialized(f.read())
