@@ -138,8 +138,12 @@ class Trainer:
             profiling = (cfg.profile_steps > 0 and epoch == 0)
             if profiling:
                 jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
+            first_batch = True
             for batch in self.dm.train_dataloader():
                 micro.append(self._device_batch(batch, augment=True))
+                if cfg.view_mark and first_batch:
+                    self._view_mark(micro[0], epoch)
+                    first_batch = False
                 if len(micro) < cfg.accumulate_grad_batches:
                     continue
                 stacked = [jnp.stack([m[i] for m in micro])
@@ -180,6 +184,18 @@ class Trainer:
                     break
             self.writer.flush()
         return self.state
+
+    def _view_mark(self, device_batch, epoch: int, max_images: int = 4):
+        """Log augmented training images with GT boxes drawn — the
+        reference's view_mark debugging hook (dataset/Pascal.py:155-173,
+        configs/config.yaml:8), post-augmentation."""
+        images, labels, boxes, mask = device_batch
+        gt_xyxy = np.asarray(box_ops.xywh_to_xyxy(boxes)) * self.img_size
+        for i in range(min(images.shape[0], max_images)):
+            panel = viz.draw_boxes(np.asarray(images[i]), gt_xyxy[i],
+                                   np.asarray(labels[i]), self.classes,
+                                   valid=np.asarray(mask[i]))
+            self.writer.image(f"view_mark/{i}", panel, epoch)
 
     def validate(self, epoch: int) -> Optional[float]:
         losses: List[Dict[str, float]] = []

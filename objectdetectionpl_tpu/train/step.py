@@ -144,8 +144,9 @@ def make_postprocess(model_name: str, num_classes: int, img_size: int,
         return post
 
     table = {
-        "YOLOv2": ([anchor_lib.YOLOV2_ANCHORS * (img_size // 13)],
-                   (img_size // 13,)),
+        # YOLOv2 anchors are output-grid units; the network stride is 32
+        # regardless of input size (model/YOLOV2.py: 5 maxpools).
+        "YOLOv2": ([anchor_lib.YOLOV2_ANCHORS * 32], (32,)),
         "YOLOv3": (anchor_lib.YOLOV3_ANCHORS, anchor_lib.YOLOV3_STRIDES),
         "YOLOv4": ([anchor_lib.YOLOV4_ANCHORS[list(m)]
                     for m in anchor_lib.YOLOV4_ANCH_MASKS],
