@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_PT_BASELINE_IPS = 250.0
-BATCH = 64
+BATCH = 384
 IMG = 640
 WARMUP = 3
 ITERS = 10

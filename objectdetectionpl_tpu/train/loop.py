@@ -64,6 +64,13 @@ class Trainer:
         self.state = state_lib.create_train_state(
             self.model, self.tx, rng, self.img_size,
             batch_size=max(cfg.batch_size, 1), ema_decay=cfg.ema_decay)
+        self.multichip = self.mesh.devices.size > 1
+        if self.multichip:
+            # replicate state; batches are placed sharded over 'data'
+            from objectdetectionpl_tpu.parallel import replicated_sharding
+            rep = replicated_sharding(self.mesh)
+            self.state = jax.tree.map(
+                lambda x: jax.device_put(x, rep), self.state)
         self.aug_rng = jax.random.PRNGKey(cfg.seed + 1)
 
         self.train_step = step_lib.make_train_step(
@@ -110,6 +117,11 @@ class Trainer:
         boxes = jnp.asarray(batch.boxes)
         labels = jnp.asarray(batch.labels)
         mask = jnp.asarray(batch.mask)
+        if self.multichip:
+            from objectdetectionpl_tpu.parallel import batch_sharding
+            sh = batch_sharding(self.mesh)
+            images, boxes, labels, mask = (
+                jax.device_put(v, sh) for v in (images, boxes, labels, mask))
         if augment:
             if self.cfg.mosaic > 0:
                 from objectdetectionpl_tpu.data.augment import mosaic_batch
@@ -155,6 +167,10 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = False
                 metrics = {k: float(v) for k, v in metrics.items()}
+                if cfg.nan_check and not np.isfinite(metrics["loss"]):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {self.global_step}: "
+                        f"{metrics} — enable jax_debug_nans or lower lr")
                 epoch_metrics.append(metrics)
                 n_imgs += stacked[0].shape[0] * stacked[0].shape[1]
                 for k, v in metrics.items():

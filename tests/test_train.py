@@ -159,3 +159,17 @@ def test_yolo_statistics_shapes(rng):
         for k in ("cls_acc", "recall50", "recall75", "precision",
                   "conf_obj", "conf_noobj"):
             assert np.isfinite(float(stats[g][k]))
+
+
+def test_trainer_multichip_fit(tmp_path):
+    """Full Trainer epoch with the batch sharded over the 8-device CPU mesh."""
+    from objectdetectionpl_tpu.train.loop import Trainer
+    cfg = Config(data_module="Synthetic", synthetic_size=8, batch_size=8,
+                 img_size=64, model_name="YOLOv2", max_epochs=1,
+                 accumulate_grad_batches=1, limit_train_batches=1,
+                 limit_val_batches=1, max_boxes=8, log_dir=str(tmp_path),
+                 test=False, ema_decay=0.9)
+    t = Trainer(cfg)
+    assert t.multichip and t.mesh.devices.size == 8
+    state = t.fit()
+    assert int(state.step) == 1
