@@ -138,6 +138,14 @@ class Trainer:
         val_metric: Optional[float] = None
 
         for epoch in range(cfg.max_epochs):
+            if epoch == 0:
+                # model-graph logging at epoch 1 (step.py:36-37): the TB
+                # analogue for a jax model is its layer table + XLA costs
+                try:
+                    self.writer.text("model/graph", summary_lib.model_summary(
+                        self.model, self.img_size))
+                except Exception:
+                    pass
             lr = self.scheduler.step(val_metric)
             optim.set_learning_rate(self.state.opt_state, lr)
             self.writer.scalar("lr-Adam" if cfg.optimizer == "Adam"

@@ -51,6 +51,10 @@ class MetricWriter:
             self._tb.add_image(tag, np.asarray(img_hwc), step,
                                dataformats="HWC")
 
+    def text(self, tag: str, content: str, step: int = 0):
+        if self._tb:
+            self._tb.add_text(tag, f"```\n{content}\n```", step)
+
     def flush(self):
         self._jsonl.flush()
         if self._tb:

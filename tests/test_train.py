@@ -173,3 +173,27 @@ def test_trainer_multichip_fit(tmp_path):
     assert t.multichip and t.mesh.devices.size == 8
     state = t.fit()
     assert int(state.step) == 1
+
+
+def test_fuse_conv_bn_equivalence(rng):
+    """conv+fused-bias == BatchNorm(conv) under running statistics."""
+    from flax import linen as nn
+    from objectdetectionpl_tpu.nn.blocks import ConvBN
+    from objectdetectionpl_tpu.utils.fuse import fuse_conv_bn
+
+    m = ConvBN(8, 3, act="linear")
+    x = jnp.asarray(rng.rand(1, 16, 16, 4), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    # non-trivial running stats
+    bs = jax.tree.map(lambda a: a + 0.3, variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+    ref = m.apply(variables, x, train=False)
+
+    p = variables["params"]
+    k, b = fuse_conv_bn(p["Conv_0"]["kernel"],
+                        p["BatchNorm_0"]["scale"], p["BatchNorm_0"]["bias"],
+                        bs["BatchNorm_0"]["mean"], bs["BatchNorm_0"]["var"])
+    conv = nn.Conv(8, (3, 3), padding=((1, 1), (1, 1)))
+    fused = conv.apply({"params": {"kernel": k, "bias": b}}, x)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
