@@ -64,11 +64,13 @@ class SSD(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         cls_ch = self.num_classes + 1
+        # extras + heads use Xavier init like the reference (model/SSD.py:230)
+        xavier = nn.initializers.xavier_normal()
         relu_conv = lambda f, k, s=1, d=1: ConvBN(
             f, k, stride=s, dilation=d, act="relu", use_bn=False,
-            dtype=self.dtype)
+            dtype=self.dtype, kernel_init=xavier)
         head = lambda ch: nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
-                                  dtype=self.dtype)
+                                  dtype=self.dtype, kernel_init=xavier)
 
         feats = []
         x = _VGGStack(tuple(_VGG_F1), dtype=self.dtype)(x, train)
@@ -85,7 +87,7 @@ class SSD(nn.Module):
         feats.append(x)                                        # 5x5x256
         # f5/f6: 3x3 VALID convs shrink 5 -> 3 -> 1 (model/SSD.py:126-155).
         valid3 = lambda: nn.Conv(256, (3, 3), padding="VALID",
-                                 dtype=self.dtype)
+                                 dtype=self.dtype, kernel_init=xavier)
         x = relu_conv(128, 1)(x, train)
         x = jnp.maximum(valid3()(x), 0)
         feats.append(x)                                        # 3x3x256

@@ -57,6 +57,7 @@ class ConvBN(nn.Module):
     dilation: int = 1
     groups: int = 1
     dtype: Dtype = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -66,7 +67,8 @@ class ConvBN(nn.Module):
                     padding=((p, p), (p, p)),
                     kernel_dilation=(self.dilation, self.dilation),
                     feature_group_count=self.groups,
-                    use_bias=not self.use_bn, dtype=self.dtype)(x)
+                    use_bias=not self.use_bn, dtype=self.dtype,
+                    kernel_init=self.kernel_init)(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(x)

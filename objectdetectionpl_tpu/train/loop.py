@@ -33,7 +33,7 @@ from objectdetectionpl_tpu.models import build_model
 from objectdetectionpl_tpu.ops import boxes as box_ops
 from objectdetectionpl_tpu.ops import losses as loss_lib
 from objectdetectionpl_tpu.ops import metrics as metric_lib
-from objectdetectionpl_tpu.parallel import make_mesh, shard_batch
+from objectdetectionpl_tpu.parallel import make_mesh
 from objectdetectionpl_tpu.train import checkpoint as ckpt_lib
 from objectdetectionpl_tpu.train import optim, state as state_lib, step as step_lib
 from objectdetectionpl_tpu.utils.logging import MetricWriter, log_param_histograms
