@@ -26,11 +26,29 @@ from objectdetectionpl_tpu.ops import assignment, boxes as box_ops
 # --- elementwise criteria --------------------------------------------------------
 
 
+# Probability floor for the -100 log clamp.  Torch's clamp binds below
+# e^-100 ~ 3.8e-44, but that is a float32 *denormal* and XLA flushes
+# denormals to zero (the guard would never fire); use the smallest normal
+# float32 instead — probabilities below it are flushed/denormal anyway.
+_BCE_FLOOR_P = 1.2e-38
+
+
+def _safe_log_clamped(p):
+    """log(p) clamped at -100 (torch BCELoss semantics) with a safe gradient.
+
+    A plain ``clip(log(p), -100)`` yields 0 * inf = NaN gradients once a
+    sigmoid saturates to exactly 0/1 (which float32 does at |logit| ~ 17);
+    the double-where keeps the untaken log branch off the autodiff path.
+    Value AND gradient match torch (grad 0 in the clamped region).
+    """
+    unsafe = p < _BCE_FLOOR_P
+    safe_p = jnp.where(unsafe, 1.0, p)
+    return jnp.where(unsafe, -100.0, jnp.log(safe_p))
+
+
 def bce_prob(p, t):
     """torch.nn.BCELoss semantics on probabilities (log clamped at -100)."""
-    log_p = jnp.clip(jnp.log(p), -100.0)
-    log_1p = jnp.clip(jnp.log(1.0 - p), -100.0)
-    return -(t * log_p + (1.0 - t) * log_1p)
+    return -(t * _safe_log_clamped(p) + (1.0 - t) * _safe_log_clamped(1.0 - p))
 
 
 def bce_logits(x, t):
@@ -122,8 +140,12 @@ def region_loss(x, labels, boxes, mask, anchors_grid, num_classes: int,
                                   jnp.arange(g, dtype=x.dtype), indexing="xy"),
                      axis=-1)                                      # [g, g, 2]
     anc = anchors_grid.reshape(1, A, 1, 1, 2).astype(x.dtype)
+    # exp capped at e^20 grid units: keeps early-training box decodes (used
+    # only for assignment metrics, under stop_gradient) finite; loss terms
+    # use the raw wh so values match the reference.
     pred_boxes = jnp.concatenate(
-        [xy + grid[None, None], jnp.exp(wh) * anc], axis=-1)       # [B,A,g,g,4]
+        [xy + grid[None, None], jnp.exp(jnp.minimum(wh, 20.0)) * anc],
+        axis=-1)                                                   # [B,A,g,g,4]
 
     tgt = assignment.build_targets_yolo(
         jax.lax.stop_gradient(pred_boxes), jax.lax.stop_gradient(cls),
