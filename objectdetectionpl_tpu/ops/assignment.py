@@ -266,6 +266,11 @@ def ssd_match(default_xywh, labels, boxes, mask, match_thresh: float = 0.5):
     best_ann = best_ann.at[forced_tgt].max(ann_ids, mode="drop")
 
     matched_boxes = boxes[best_ann]                             # [D, 4]
+    # floor wh before the log-encode: a dbox matched to a padded (zero-size)
+    # annotation would produce -inf offsets, and inf * 0-mask = NaN in the
+    # loss even though the row is masked out.
+    matched_boxes = matched_boxes.at[..., 2:4].set(
+        jnp.maximum(matched_boxes[..., 2:4], 1e-9))
     true_offsets = box_ops.ssd_encode(matched_boxes, default_xywh)
     true_classes = jnp.where(matched, 1 + labels[best_ann], 0)
     return SSDMatch(matched, best_ann, true_offsets, true_classes)
@@ -293,6 +298,9 @@ def retina_match(anchors_xywh, labels, boxes, mask, img_size: float):
     max_ids = jnp.argmax(ious, axis=1)
 
     matched = boxes_px[max_ids]
+    # wh floor: see ssd_match — padded zero-size boxes must not emit -inf.
+    matched = matched.at[..., 2:4].set(
+        jnp.maximum(matched[..., 2:4], 1e-6))
     loc_targets = box_ops.retina_encode(matched, anchors_xywh)
     cls_targets = 1 + labels[max_ids]
     cls_targets = jnp.where(max_ious < 0.5, 0, cls_targets)

@@ -91,3 +91,46 @@ def test_v5_loss_reference_shapes_and_grads(rng):
     for gr in grads:
         assert float(jnp.abs(gr).sum()) > 0
         assert bool(jnp.all(jnp.isfinite(gr)))
+
+
+def test_losses_finite_with_zero_padded_boxes(rng):
+    """Padded (zero-size) boxes must not leak inf/NaN through masked terms.
+
+    Regression: log-encoding a zero wh gives -inf, and inf * 0-mask = NaN.
+    """
+    import jax
+    import jax.numpy as jnp
+    from objectdetectionpl_tpu.ops import anchors as anchor_lib
+    B, M, C = 2, 4, 5
+    labels = jnp.zeros((B, M), jnp.int32)
+    boxes = jnp.zeros((B, M, 4)).at[0, 0].set(
+        jnp.asarray([0.5, 0.5, 0.2, 0.2]))
+    mask = jnp.zeros((B, M), bool).at[0, 0].set(True)   # image 1 fully empty
+
+    loc = jnp.asarray(rng.randn(B, 8732, 4), np.float32)
+    cls = jnp.asarray(rng.randn(B, 8732, C + 1), np.float32)
+    m = loss_lib.make_loss("SSD", C, 300)((loc, cls), labels, boxes, mask)
+    assert all(np.isfinite(float(v)) for v in m.values())
+    g = jax.grad(lambda l: loss_lib.make_loss("SSD", C, 300)(
+        (l, cls), labels, boxes, mask)["loss"])(loc)
+    assert bool(jnp.isfinite(g).all())
+
+    anc = anchor_lib.retina_anchors(256)
+    locr = jnp.asarray(rng.randn(B, anc.shape[0], 4), np.float32)
+    clsr = jnp.asarray(rng.randn(B, anc.shape[0], C), np.float32)
+    mr = loss_lib.make_loss("RetinaNet", C, 256)((locr, clsr), labels, boxes,
+                                                 mask)
+    assert all(np.isfinite(float(v)) for v in mr.values())
+
+
+def test_bce_prob_saturation_safe():
+    """BCE must stay finite in value AND gradient at sigmoid saturation."""
+    import jax
+    import jax.numpy as jnp
+    p = jnp.asarray([0.0, 1.0, 0.5, 1.0 - 1e-7, 1e-20])
+    t = jnp.asarray([0.0, 0.0, 1.0, 0.0, 1.0])
+    v = loss_lib.bce_prob(p, t)
+    assert bool(jnp.isfinite(v).all())
+    assert abs(float(v[1]) - 100.0) < 1e-6      # torch clamp parity
+    g = jax.grad(lambda pp: loss_lib.bce_prob(pp, t).sum())(p)
+    assert bool(jnp.isfinite(g).all())
