@@ -17,9 +17,19 @@ from __future__ import annotations
 import json
 import time
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+try:  # persistent compilation cache
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 A100_PT_BASELINE_IPS = 250.0
 BATCH = 384

@@ -10,10 +10,22 @@ Any config field can be overridden on the command line with --key value.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+import jax
 
 from objectdetectionpl_tpu.config import load_config
 from objectdetectionpl_tpu.train.loop import Trainer
+
+try:  # persistent compilation cache (first compiles are minutes here)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.dirname(os.path.abspath(__file__)))),
+                          ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 
 def parse_args(argv=None):
