@@ -75,6 +75,7 @@ class Config:
     ema_decay: float = 0.0            # param EMA for eval/serving (0 = off)
     profile_steps: int = 0            # trace this many train steps to TB
     nan_check: bool = True            # raise on non-finite train loss
+    histogram_every: int = 1          # param histograms every N epochs (0=off)
     mesh_shape: Optional[Sequence[int]] = None   # None -> all devices on 'data'
     seed: int = 0
     synthetic_size: int = 64          # examples in the synthetic dataset

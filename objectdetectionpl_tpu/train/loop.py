@@ -193,8 +193,9 @@ class Trainer:
                 dt = time.time() - t0
                 self.writer.scalar("throughput/images_per_sec",
                                    n_imgs / max(dt, 1e-9), epoch)
-            log_param_histograms(self.writer, self.state.params, epoch,
-                                 max_tensors=50)
+            if cfg.histogram_every and epoch % cfg.histogram_every == 0:
+                log_param_histograms(self.writer, self.state.params, epoch,
+                                     max_tensors=50)
 
             if profiling:      # epoch shorter than profile_steps
                 jax.profiler.stop_trace()
