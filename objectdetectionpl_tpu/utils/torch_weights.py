@@ -68,6 +68,67 @@ def load_vgg16_into_ssd(params, state_dict: Dict[str, np.ndarray]):
         {tuple(k.split("/")): v for k, v in flat.items()})), n_loaded)
 
 
+RESNET50_BLOCKS = [3, 4, 6, 3]
+
+
+def load_resnet50_into_retinanet(params, batch_stats,
+                                 state_dict: Dict[str, np.ndarray]):
+    """Copy torchvision resnet50 weights into RetinaNet's ResNetFPN.
+
+    Maps conv1/bn1 -> ResNetFPN_0/ConvBN_0, layer{L}.{i} ->
+    Bottleneck_{offset+i} with conv1..3 -> ConvBN_0..2 and
+    downsample.(0 conv, 1 bn) -> ConvBN_3.  BN running stats land in
+    batch_stats.  Returns (params, batch_stats, n_loaded).
+    """
+    import flax
+
+    fp = flax.traverse_util.flatten_dict(flax.core.unfreeze(params), sep="/")
+    fb = flax.traverse_util.flatten_dict(flax.core.unfreeze(batch_stats),
+                                         sep="/")
+    # the FPN submodule name inside RetinaNet (absent if params are the FPN's)
+    prefix = ("ResNetFPN_0/" if any(k.startswith("ResNetFPN_0/") for k in fp)
+              else "")
+    n = 0
+
+    def put(flax_base: str, conv_key: str, bn_key: str = None):
+        nonlocal n
+        w = state_dict.get(f"{conv_key}.weight")
+        if w is None:
+            return
+        kw = f"{prefix}{flax_base}/Conv_0/kernel"
+        assert fp[kw].shape == conv_to_flax(w).shape, (kw, fp[kw].shape,
+                                                       w.shape)
+        fp[kw] = conv_to_flax(w)
+        n += 1
+        if bn_key is None:
+            return
+        fp[f"{prefix}{flax_base}/BatchNorm_0/scale"] = np.asarray(
+            state_dict[f"{bn_key}.weight"])
+        fp[f"{prefix}{flax_base}/BatchNorm_0/bias"] = np.asarray(
+            state_dict[f"{bn_key}.bias"])
+        fb[f"{prefix}{flax_base}/BatchNorm_0/mean"] = np.asarray(
+            state_dict[f"{bn_key}.running_mean"])
+        fb[f"{prefix}{flax_base}/BatchNorm_0/var"] = np.asarray(
+            state_dict[f"{bn_key}.running_var"])
+
+    put("ConvBN_0", "conv1", "bn1")
+    block = 0
+    for L, n_blocks in enumerate(RESNET50_BLOCKS, start=1):
+        for i in range(n_blocks):
+            base = f"Bottleneck_{block}"
+            for c in range(1, 4):
+                put(f"{base}/ConvBN_{c - 1}", f"layer{L}.{i}.conv{c}",
+                    f"layer{L}.{i}.bn{c}")
+            if f"layer{L}.{i}.downsample.0.weight" in state_dict:
+                put(f"{base}/ConvBN_3", f"layer{L}.{i}.downsample.0",
+                    f"layer{L}.{i}.downsample.1")
+            block += 1
+
+    unflat = lambda d: flax.core.freeze(flax.traverse_util.unflatten_dict(
+        {tuple(k.split("/")): v for k, v in d.items()}))
+    return unflat(fp), unflat(fb), n
+
+
 def convert_generic_conv_bn(torch_prefix: str, state_dict,
                             ) -> Tuple[np.ndarray, dict]:
     """Helper: (conv kernel, {scale, bias, mean, var}) for a torch
