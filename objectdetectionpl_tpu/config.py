@@ -76,6 +76,7 @@ class Config:
     profile_steps: int = 0            # trace this many train steps to TB
     nan_check: bool = True            # raise on non-finite train loss
     histogram_every: int = 1          # param histograms every N epochs (0=off)
+    log_every_steps: int = 1          # pull per-step metrics to host every N steps
     mesh_shape: Optional[Sequence[int]] = None   # None -> all devices on 'data'
     seed: int = 0
     synthetic_size: int = 64          # examples in the synthetic dataset

@@ -174,18 +174,25 @@ class Trainer:
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
                     profiling = False
-                metrics = {k: float(v) for k, v in metrics.items()}
-                if cfg.nan_check and not np.isfinite(metrics["loss"]):
-                    raise FloatingPointError(
-                        f"non-finite loss at step {self.global_step}: "
-                        f"{metrics} — enable jax_debug_nans or lower lr")
-                epoch_metrics.append(metrics)
                 n_imgs += stacked[0].shape[0] * stacked[0].shape[1]
-                for k, v in metrics.items():
-                    self.writer.scalar(f"Loss/{k}/Train", v, self.global_step)
+                # Pulling metrics to host synchronizes with the device every
+                # step; at log_every_steps > 1 intermediate steps stay async
+                # (metrics kept as device arrays, reduced at epoch end).
+                if self.global_step % max(cfg.log_every_steps, 1) == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    if cfg.nan_check and not np.isfinite(metrics["loss"]):
+                        raise FloatingPointError(
+                            f"non-finite loss at step {self.global_step}: "
+                            f"{metrics} — enable jax_debug_nans or lower lr")
+                    for k, v in metrics.items():
+                        self.writer.scalar(f"Loss/{k}/Train", v,
+                                           self.global_step)
+                epoch_metrics.append(metrics)
                 self.global_step += 1
 
             if epoch_metrics:
+                epoch_metrics = [{k: float(v) for k, v in m.items()}
+                                 for m in epoch_metrics]
                 means = {k: float(np.mean([m[k] for m in epoch_metrics]))
                          for k in epoch_metrics[0]}
                 self.writer.scalars("Epoch", {f"{k}/Train": v
