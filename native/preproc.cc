@@ -111,3 +111,120 @@ void preproc_batch(const uint8_t** srcs, const int* hs, const int* ws, int n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused JPEG decode + resize + normalize + batch pack (libjpeg).
+//
+// The reference's data hot loop is cv2.imread + A.Resize inside 5 forked
+// dataloader workers (SURVEY.md §3.1).  Here one C++ call takes N file paths
+// and fills the padded float32 NHWC batch directly, using libjpeg's
+// fractional DCT scaling (scale_num/8) to decode large sources near the
+// target resolution — decoding a 4000px JPEG for a 640px target reads 8x
+// fewer pixels.
+
+#include <csetjmp>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+namespace {
+
+struct JpegError {
+  jpeg_error_mgr mgr;
+  jmp_buf jump;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegError*>(cinfo->err)->jump, 1);
+}
+
+// Decode one JPEG file to tightly-packed RGB; chooses a DCT scale so the
+// decoded size stays >= target. Returns false on failure.
+bool decode_jpeg(const char* path, int target, std::vector<uint8_t>* out,
+                 int* w, int* h, int* ow, int* oh) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JpegError jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  *ow = cinfo.image_width;
+  *oh = cinfo.image_height;
+  // largest denominator that keeps both dims >= target
+  int denom = 1;
+  while (denom < 8 &&
+         (cinfo.image_width / (denom * 2) >= (unsigned)target) &&
+         (cinfo.image_height / (denom * 2) >= (unsigned)target)) {
+    denom *= 2;
+  }
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = denom;
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  out->resize(static_cast<size_t>(*w) * *h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data() + static_cast<size_t>(cinfo.output_scanline) * *w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode + preprocess N JPEG files into dst [N, S, S, 3] float32 in [0, 1].
+// orig_ws/orig_hs receive the ORIGINAL image sizes (for box normalization);
+// scales/pads describe the letterbox transform RELATIVE TO THE ORIGINAL.
+// ok[i] = 1 on success, 0 on decode failure (dst row zeroed).
+void decode_preproc_batch(const char** paths, int n, float* dst, int S,
+                          int letterbox, int threads, int* orig_ws,
+                          int* orig_hs, float* scales, float* pad_xs,
+                          float* pad_ys, int* ok) {
+  const int nt = std::max(1, std::min(threads, n));
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    pool.emplace_back([=]() {
+      std::vector<uint8_t> buf;
+      for (int i = t; i < n; i += nt) {
+        int w = 0, h = 0, ow = 0, oh = 0;
+        float* row = dst + static_cast<int64_t>(i) * S * S * 3;
+        if (!decode_jpeg(paths[i], S, &buf, &w, &h, &ow, &oh)) {
+          std::memset(row, 0, sizeof(float) * S * S * 3);
+          ok[i] = 0;
+          orig_ws[i] = orig_hs[i] = 0;
+          scales[i] = 1.0f;
+          pad_xs[i] = pad_ys[i] = 0.0f;
+          continue;
+        }
+        resize_one(buf.data(), h, w, row, S, letterbox != 0, &scales[i],
+                   &pad_xs[i], &pad_ys[i]);
+        // letterbox scale is relative to the decoded size; rescale to the
+        // original coordinate frame the annotations live in.
+        if (letterbox) {
+          scales[i] *= static_cast<float>(w) / ow;
+        }
+        orig_ws[i] = ow;
+        orig_hs[i] = oh;
+        ok[i] = 1;
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

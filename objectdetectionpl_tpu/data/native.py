@@ -45,6 +45,19 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),                  # pad_ys
         ]
         lib.preproc_batch.restype = None
+        lib.decode_preproc_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),                 # paths
+            ctypes.c_int,                                    # n
+            ctypes.POINTER(ctypes.c_float),                  # dst
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,        # S, letterbox, threads
+            ctypes.POINTER(ctypes.c_int),                    # orig_ws
+            ctypes.POINTER(ctypes.c_int),                    # orig_hs
+            ctypes.POINTER(ctypes.c_float),                  # scales
+            ctypes.POINTER(ctypes.c_float),                  # pad_xs
+            ctypes.POINTER(ctypes.c_float),                  # pad_ys
+            ctypes.POINTER(ctypes.c_int),                    # ok
+        ]
+        lib.decode_preproc_batch.restype = None
         _lib = lib
     except Exception:
         _load_failed = True
@@ -84,3 +97,33 @@ def preproc_batch(images: List[np.ndarray], size: int, letterbox: bool,
         pad_xs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         pad_ys.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return dst, scales, pad_xs, pad_ys
+
+
+def decode_preproc_batch(paths: List[str], size: int, letterbox: bool,
+                         threads: int = 0):
+    """Fused JPEG decode (DCT-scaled) + resize/letterbox + normalize + pack.
+
+    Returns (batch [N,S,S,3] f32, orig_ws, orig_hs, scales, pad_xs, pad_ys,
+    ok) or None when unavailable.  scales/pads are relative to the ORIGINAL
+    image frame (annotation coordinates).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "decode_preproc_batch"):
+        return None
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    dst = np.empty((n, size, size, 3), np.float32)
+    orig_ws = np.empty((n,), np.int32)
+    orig_hs = np.empty((n,), np.int32)
+    scales = np.empty((n,), np.float32)
+    pad_xs = np.empty((n,), np.float32)
+    pad_ys = np.empty((n,), np.float32)
+    ok = np.empty((n,), np.int32)
+    if threads <= 0:
+        threads = min(n, os.cpu_count() or 1)
+    i32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    f32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    lib.decode_preproc_batch(c_paths, n, f32(dst), size, int(letterbox),
+                             threads, i32(orig_ws), i32(orig_hs), f32(scales),
+                             f32(pad_xs), f32(pad_ys), i32(ok))
+    return dst, orig_ws, orig_hs, scales, pad_xs, pad_ys, ok

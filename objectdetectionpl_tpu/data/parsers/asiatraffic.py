@@ -26,9 +26,12 @@ class AsiaTrafficParser:
     def __len__(self):
         return len(self.ids)
 
-    def __getitem__(self, i: int) -> Example:
+    def record(self, i: int):
         _id = self.ids[i]
         boxes, labels = common.parse_voc_xml(
             os.path.join(self.anno_dir, f"{_id}.xml"), self.classes)
-        return common.make_example(
-            os.path.join(self.image_dir, f"{_id}.jpg"), boxes, labels)
+        return os.path.join(self.image_dir, f"{_id}.jpg"), boxes, labels
+
+    def __getitem__(self, i: int) -> Example:
+        path, boxes, labels = self.record(i)
+        return common.make_example(path, boxes, labels)

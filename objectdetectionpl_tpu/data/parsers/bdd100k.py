@@ -52,7 +52,11 @@ class BDD100KParser:
     def __len__(self):
         return len(self.records)
 
-    def __getitem__(self, i: int) -> Example:
+    def record(self, i: int):
         path, objs = self.records[i]
         arr = np.asarray(objs, np.float32).reshape(-1, 5)
-        return common.make_example(path, arr[:, :4], arr[:, 4].astype(np.int32))
+        return path, arr[:, :4], arr[:, 4].astype(np.int32)
+
+    def __getitem__(self, i: int) -> Example:
+        path, boxes, labels = self.record(i)
+        return common.make_example(path, boxes, labels)

@@ -64,9 +64,12 @@ class COCOParser:
     def __len__(self):
         return len(self.records)
 
-    def __getitem__(self, i: int) -> Example:
+    def record(self, i: int):
         rec = self.records[i]
         objs = np.asarray(rec["objs"], np.float32).reshape(-1, 5)
-        return common.make_example(
-            os.path.join(self.image_dir, rec["file_name"]),
-            objs[:, :4], objs[:, 4].astype(np.int32))
+        return (os.path.join(self.image_dir, rec["file_name"]),
+                objs[:, :4], objs[:, 4].astype(np.int32))
+
+    def __getitem__(self, i: int) -> Example:
+        path, boxes, labels = self.record(i)
+        return common.make_example(path, boxes, labels)

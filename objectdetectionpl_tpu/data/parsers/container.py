@@ -28,9 +28,13 @@ class ContainerParser:
     def __len__(self):
         return len(self.img_files)
 
-    def __getitem__(self, i: int) -> Example:
+    def record(self, i: int):
         img_path = self.img_files[i]
         stem = os.path.splitext(os.path.basename(img_path))[0]
         boxes, labels = common.parse_voc_xml(
             os.path.join(self.anno_dir, f"{stem}.xml"), self.classes)
-        return common.make_example(img_path, boxes, labels)
+        return img_path, boxes, labels
+
+    def __getitem__(self, i: int) -> Example:
+        path, boxes, labels = self.record(i)
+        return common.make_example(path, boxes, labels)

@@ -30,9 +30,13 @@ class VOCParser:
     def __len__(self):
         return len(self.ids)
 
-    def __getitem__(self, i: int) -> Example:
+    def record(self, i: int):
+        """(img_path, boxes, labels) — enables the fused native decode path."""
         _id = self.ids[i]
         boxes, labels = common.parse_voc_xml(
             os.path.join(self.anno_dir, f"{_id}.xml"), self.classes)
-        return common.make_example(
-            os.path.join(self.image_dir, f"{_id}.jpg"), boxes, labels)
+        return os.path.join(self.image_dir, f"{_id}.jpg"), boxes, labels
+
+    def __getitem__(self, i: int) -> Example:
+        path, boxes, labels = self.record(i)
+        return common.make_example(path, boxes, labels)

@@ -30,7 +30,7 @@ class WiderPersonParser:
     def __len__(self):
         return len(self.ids)
 
-    def __getitem__(self, i: int) -> Example:
+    def record(self, i: int):
         _id = self.ids[i]
         boxes, labels = [], []
         if self.has_annotations:
@@ -45,7 +45,10 @@ class WiderPersonParser:
                     if x1 >= 0 and y1 >= 0 and w >= 0 and h >= 0:
                         boxes.append([x1, y1, w, h])
                         labels.append(label - 1)
-        return common.make_example(
-            os.path.join(self.image_dir, f"{_id}.jpg"),
-            np.asarray(boxes, np.float32).reshape(-1, 4),
-            np.asarray(labels, np.int32))
+        return (os.path.join(self.image_dir, f"{_id}.jpg"),
+                np.asarray(boxes, np.float32).reshape(-1, 4),
+                np.asarray(labels, np.int32))
+
+    def __getitem__(self, i: int) -> Example:
+        path, boxes, labels = self.record(i)
+        return common.make_example(path, boxes, labels)

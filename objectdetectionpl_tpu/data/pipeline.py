@@ -79,6 +79,34 @@ class Loader:
             n += 1
         return min(n, self.limit_batches) if self.limit_batches else n
 
+    def _fused_batch(self, recs):
+        """Native fused JPEG decode + preprocess (one C++ call per batch).
+
+        recs: [(path, boxes top-left px, labels), ...].  Returns None if the
+        native decode fails for any image (caller falls back per-batch).
+        """
+        from objectdetectionpl_tpu.data import native
+
+        S = self.img_size
+        out = native.decode_preproc_batch([r[0] for r in recs], S,
+                                          self.letterbox)
+        if out is None:
+            return None
+        imgs, ows, ohs, scales, pad_xs, pad_ys, ok = out
+        if not ok.all():
+            return None
+        boxes_l = []
+        for (_, bx, _), ow, oh, s, px, py in zip(recs, ows, ohs, scales,
+                                                 pad_xs, pad_ys):
+            if self.letterbox:
+                boxes_l.append(_letterbox_boxes(bx, float(s), float(px),
+                                                float(py), S))
+            else:
+                boxes_l.append(topleft_to_center_norm(bx, int(ow), int(oh)))
+        boxes, labels, mask = pad_targets(boxes_l, [r[2] for r in recs],
+                                          self.max_boxes)
+        return Batch(imgs, labels, boxes, mask)
+
     def __iter__(self) -> Iterator[Batch]:
         order = self.indices.copy()
         if self.shuffle:
@@ -90,9 +118,20 @@ class Loader:
 
         n_batches = len(self)
         use_native = native.available()
+        fused = use_native and hasattr(self.parser, "record")
         S = self.img_size
         for b in range(n_batches):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+
+            if fused:
+                recs = [self.parser.record(int(i)) for i in idx]
+                if all(r[0].lower().endswith((".jpg", ".jpeg"))
+                       for r in recs):
+                    batch = self._fused_batch(recs)
+                    if batch is not None:
+                        yield batch
+                        continue
+
             examples = [self.parser[int(i)] for i in idx]
             labels_l = [ex.labels for ex in examples]
             boxes_l = []
