@@ -17,23 +17,41 @@
 
 namespace {
 
-// Bilinear sample of one channel at (fy, fx) from an HxWx3 u8 image.
-inline float bilinear(const uint8_t* img, int h, int w, float fy, float fx,
-                      int c) {
-  fy = std::max(0.0f, std::min(fy, static_cast<float>(h - 1)));
-  fx = std::max(0.0f, std::min(fx, static_cast<float>(w - 1)));
-  const int y0 = static_cast<int>(fy);
-  const int x0 = static_cast<int>(fx);
-  const int y1 = std::min(y0 + 1, h - 1);
-  const int x1 = std::min(x0 + 1, w - 1);
-  const float dy = fy - y0;
-  const float dx = fx - x0;
-  const float v00 = img[(y0 * w + x0) * 3 + c];
-  const float v01 = img[(y0 * w + x1) * 3 + c];
-  const float v10 = img[(y1 * w + x0) * 3 + c];
-  const float v11 = img[(y1 * w + x1) * 3 + c];
-  return v00 * (1 - dy) * (1 - dx) + v01 * (1 - dy) * dx +
-         v10 * dy * (1 - dx) + v11 * dy * dx;
+// Row-precomputed bilinear resize of an HxWx3 u8 image into a float32
+// sub-rectangle (scaled 1/255).  cv2.INTER_LINEAR sampling convention.
+void bilinear_rect(const uint8_t* src, int h, int w, float* dst,
+                   int dst_stride, int outw, int outh) {
+  std::vector<int> xi0(outw), xi1(outw);
+  std::vector<float> wx(outw);
+  const float sx = static_cast<float>(w) / outw;
+  for (int x = 0; x < outw; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    fx = std::max(0.0f, std::min(fx, static_cast<float>(w - 1)));
+    xi0[x] = static_cast<int>(fx);
+    xi1[x] = std::min(xi0[x] + 1, w - 1);
+    wx[x] = fx - xi0[x];
+  }
+  const float sy = static_cast<float>(h) / outh;
+  constexpr float kInv255 = 1.0f / 255.0f;
+  for (int y = 0; y < outh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    fy = std::max(0.0f, std::min(fy, static_cast<float>(h - 1)));
+    const int y0 = static_cast<int>(fy);
+    const int y1 = std::min(y0 + 1, h - 1);
+    const float dy = fy - y0;
+    const uint8_t* r0 = src + static_cast<size_t>(y0) * w * 3;
+    const uint8_t* r1 = src + static_cast<size_t>(y1) * w * 3;
+    float* out = dst + static_cast<size_t>(y) * dst_stride;
+    for (int x = 0; x < outw; ++x) {
+      const int a = xi0[x] * 3, b = xi1[x] * 3;
+      const float dx = wx[x];
+      for (int c = 0; c < 3; ++c) {
+        const float top = r0[a + c] + (r0[b + c] - r0[a + c]) * dx;
+        const float bot = r1[a + c] + (r1[b + c] - r1[a + c]) * dx;
+        out[x * 3 + c] = (top + (bot - top) * dy) * kInv255;
+      }
+    }
+  }
 }
 
 // Resize src (h x w x 3 u8) into dst (S x S x 3 f32, already scaled /255).
@@ -44,18 +62,7 @@ void resize_one(const uint8_t* src, int h, int w, float* dst, int S,
                 bool letterbox, float* scale_out, float* padx_out,
                 float* pady_out) {
   if (!letterbox) {
-    const float sy = static_cast<float>(h) / S;
-    const float sx = static_cast<float>(w) / S;
-    for (int y = 0; y < S; ++y) {
-      // cv2.INTER_LINEAR convention: sample at (i + 0.5) * scale - 0.5
-      const float fy = (y + 0.5f) * sy - 0.5f;
-      for (int x = 0; x < S; ++x) {
-        const float fx = (x + 0.5f) * sx - 0.5f;
-        float* out = dst + (y * S + x) * 3;
-        for (int c = 0; c < 3; ++c)
-          out[c] = bilinear(src, h, w, fy, fx, c) * (1.0f / 255.0f);
-      }
-    }
+    bilinear_rect(src, h, w, dst, S * 3, S, S);
     *scale_out = 1.0f;
     *padx_out = 0.0f;
     *pady_out = 0.0f;
@@ -69,17 +76,8 @@ void resize_one(const uint8_t* src, int h, int w, float* dst, int S,
   const int pad_x = (S - nw) / 2;
   const float gray = 114.0f / 255.0f;
   for (int i = 0; i < S * S * 3; ++i) dst[i] = gray;
-  const float sy = static_cast<float>(h) / nh;
-  const float sx = static_cast<float>(w) / nw;
-  for (int y = 0; y < nh; ++y) {
-    const float fy = (y + 0.5f) * sy - 0.5f;
-    for (int x = 0; x < nw; ++x) {
-      const float fx = (x + 0.5f) * sx - 0.5f;
-      float* out = dst + ((y + pad_y) * S + (x + pad_x)) * 3;
-      for (int c = 0; c < 3; ++c)
-        out[c] = bilinear(src, h, w, fy, fx, c) * (1.0f / 255.0f);
-    }
-  }
+  bilinear_rect(src, h, w, dst + (static_cast<size_t>(pad_y) * S + pad_x) * 3,
+                S * 3, nw, nh);
   *scale_out = scale;
   *padx_out = static_cast<float>(pad_x);
   *pady_out = static_cast<float>(pad_y);
