@@ -67,7 +67,10 @@ def main(argv=None):
         if cfg.auto_scale_batch_size == "power":
             bs = tune.auto_scale_batch_size(trainer, start=cfg.batch_size)
             print(f"[tune] auto_scale_batch_size suggests batch_size={bs}")
-    trainer.fit()
+    if cfg.max_epochs > 0:
+        trainer.fit()
+    else:
+        trainer.maybe_restore()       # eval-only: max_epochs 0 + checkpoint
     if cfg.test:
         trainer.dm.setup("test")
         results = trainer.test()

@@ -77,6 +77,9 @@ class Config:
     nan_check: bool = True            # raise on non-finite train loss
     histogram_every: int = 1          # param histograms every N epochs (0=off)
     log_every_steps: int = 1          # pull per-step metrics to host every N steps
+    conf_thres: float = 0.5           # NMS confidence threshold (YOLO families)
+    nms_thres: float = 0.4            # NMS IoU threshold (YOLO families)
+    nms_top_k: int = 300              # NMS candidate pool
     mesh_shape: Optional[Sequence[int]] = None   # None -> all devices on 'data'
     seed: int = 0
     synthetic_size: int = 64          # examples in the synthetic dataset

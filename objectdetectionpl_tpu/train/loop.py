@@ -78,7 +78,9 @@ class Trainer:
             ema_decay=cfg.ema_decay)
         self.eval_step = step_lib.make_eval_step(self.model, self.loss_fn)
         self.postprocess = step_lib.make_postprocess(
-            cfg.model_name, self.num_classes, self.img_size)
+            cfg.model_name, self.num_classes, self.img_size,
+            conf_thres=cfg.conf_thres, nms_thres=cfg.nms_thres,
+            top_k=cfg.nms_top_k)
         self.predict_step = step_lib.make_predict_step(
             self.model, self.postprocess)
 
