@@ -205,6 +205,12 @@ class Trainer:
             if cfg.histogram_every and epoch % cfg.histogram_every == 0:
                 log_param_histograms(self.writer, self.state.params, epoch,
                                      max_tensors=50)
+            # device memory telemetry (GPUStatsMonitor analogue, run.py:107)
+            from objectdetectionpl_tpu.utils.profiler import device_memory_stats
+            for dev, stats in device_memory_stats().items():
+                for k, v in stats.items():
+                    if v is not None:
+                        self.writer.scalar(f"device/{dev}/{k}", v, epoch)
 
             if profiling:      # epoch shorter than profile_steps
                 jax.profiler.stop_trace()
