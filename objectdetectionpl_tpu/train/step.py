@@ -18,7 +18,7 @@ Batch layout for train: every array is [accum_steps, micro_batch, ...].
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ exponential LR sweep and suggests the steepest-descent LR;
 from __future__ import annotations
 
 import math
-from typing import List, Tuple
+from typing import List
 
 import jax
 import numpy as np

@@ -8,8 +8,6 @@ the framework (jax.export round-trip).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
