@@ -84,4 +84,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # Retry transient TPU/compile-service failures (FAILED_PRECONDITION after
+    # another process releases the chip, remote-compile timeouts).
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:
+            if attempt == 2:
+                raise
+            print(f"# bench attempt {attempt} failed "
+                  f"({type(e).__name__}); retrying", flush=True)
+            time.sleep(30)
