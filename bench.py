@@ -64,14 +64,14 @@ def main():
         0, 255, (BATCH, IMG, IMG, 3)).astype(np.uint8)
     batch = jax.device_put(host)
 
+    # NOTE: fetch a scalar per iteration — through the remote-device tunnel,
+    # block_until_ready alone is not a reliable execution barrier.
     for _ in range(WARMUP):
-        res = end_to_end(batch)
-        jax.block_until_ready(res)
+        float(end_to_end(batch).valid.sum())
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        res = end_to_end(batch)
-        jax.block_until_ready(res)
+        float(end_to_end(batch).valid.sum())
     dt = time.perf_counter() - t0
 
     ips = BATCH * ITERS / dt
