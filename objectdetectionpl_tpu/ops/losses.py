@@ -287,7 +287,17 @@ def ssd_loss(outputs, labels, boxes, mask, default_xywh, num_classes: int,
         reg = jnp.where(has_ann, reg, 0.0)
 
         if cls_mode == "focal":
-            cls_elem = softmax_focal(cls_p, m.true_classes, num_classes).sum(-1)
+            # Reference focal semantics: softmax over *foreground* channels
+            # only (the reference focal_loss has no background channel in its
+            # logits, losses.py:340-346); our head's channel 0 (background) is
+            # unused in focal mode.  Divergence from the reference SSD+focal
+            # combination itself: the reference feeds the [D, C] elementwise
+            # focal matrix into a hard-negative path written for [D] vectors
+            # (losses.py:267-272 sorts a 2-D tensor and fancy-indexes rows —
+            # shape-broken); we reduce per-box with sum(-1) first, which is the
+            # intended mining semantics.
+            cls_elem = softmax_focal(cls_p[:, 1:], m.true_classes,
+                                     num_classes).sum(-1)
         else:  # cross-entropy over 1+C channels
             logp = jax.nn.log_softmax(cls_p, axis=-1)
             cls_elem = -jnp.take_along_axis(

@@ -23,6 +23,171 @@ def ref_losses(reference_path):
     return importlib.import_module("LightningFunc.losses")
 
 
+@pytest.fixture
+def torch_cuda_on_cpu(monkeypatch):
+    """Run the reference's .cuda()-hard-coded losses on CPU.
+
+    MultiScaleRegionLoss_v5 / SSDLoss / RetinaNetLoss hard-code
+    torch.cuda.FloatTensor and .cuda() calls (losses.py:73-99, 340, 468);
+    aliasing them to the CPU equivalents lets the real reference classes run
+    as golden oracles without a GPU.
+    """
+    import torch
+    monkeypatch.setattr(torch.cuda, "FloatTensor", torch.FloatTensor,
+                        raising=False)
+    monkeypatch.setattr(torch.cuda, "LongTensor", torch.LongTensor,
+                        raising=False)
+    monkeypatch.setattr(torch.cuda, "ByteTensor", torch.ByteTensor,
+                        raising=False)
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+    monkeypatch.setattr(torch.nn.Module, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+    return torch
+
+
+def _well_separated_targets(B, num_classes, centers, wh=0.08):
+    """Padded targets whose boxes occupy distinct grid cells at every scale.
+
+    Keeps the v5 parity test deterministic: our tobj scatter keeps the max on
+    duplicate (b, a, cell) writes while torch keeps the last write — with
+    separated boxes no duplicates occur and the two agree exactly.
+    """
+    M = len(centers)
+    labels = np.arange(M, dtype=np.int32)[None, :].repeat(B, 0) % num_classes
+    boxes = np.array([[cx, cy, wh, wh * 1.5] for cx, cy in centers],
+                     np.float32)[None].repeat(B, 0)
+    mask = np.ones((B, M), bool)
+    return labels, boxes, mask
+
+
+def test_yolov5_loss_parity(rng, ref_losses, torch_cuda_on_cpu):
+    """Golden parity vs the reference MultiScaleRegionLoss_v5 on CPU
+    (losses.py:70-156): all four returned metrics within rtol 2e-4."""
+    torch = torch_cuda_on_cpu
+    from objectdetectionpl_tpu.ops import anchors as anchor_lib
+
+    B, C, S = 2, 10, 320
+    labels, boxes, mask = _well_separated_targets(
+        B, C, [(0.15, 0.15), (0.52, 0.57), (0.85, 0.31)])
+    outs = [rng.randn(B, 3, S // s, S // s, 5 + C).astype(np.float32)
+            for s in (8, 16, 32)]
+
+    anchors = [list(anchor_lib.YOLOV5_ANCHORS[i].reshape(-1))
+               for i in range(3)]
+    crit = ref_losses.MultiScaleRegionLoss_v5(
+        anchors=anchors, anch_masks=None, cls_criterion=None,
+        coord_criterion=None, conf_criterion=None, num_classes=C, img_dim=S)
+    rows = to_reference_rows(labels, boxes, mask)
+    ref = crit.forward([torch.tensor(o) for o in outs], torch.tensor(rows))
+
+    got = loss_lib.yolov5_loss(
+        [jnp.asarray(o) for o in outs], jnp.asarray(labels),
+        jnp.asarray(boxes), jnp.asarray(mask),
+        anchors_px=anchor_lib.YOLOV5_ANCHORS, strides=(8, 16, 32),
+        num_classes=C)
+
+    for k in ("loss", "Localization", "Classification", "Conf_obj"):
+        np.testing.assert_allclose(
+            float(got[k]), float(ref[k].detach()), rtol=2e-4, atol=1e-6,
+            err_msg=f"metric {k}")
+
+
+def test_ssd_loss_parity(rng, ref_losses, torch_cuda_on_cpu):
+    """Golden parity vs the reference SSDLoss on CPU (losses.py:159-315).
+
+    Harness notes (documented divergences made inert, not skipped):
+    - our head has an explicit background channel and 1+label classes; the
+      reference conflates class 0 with background — so the oracle is fed
+      (1+C)-channel predictions and label+1 target rows, which makes its CE
+      math identical to ours;
+    - the reference indexes targets[:lens[j]] for EVERY image
+      (losses.py:299-300) — every image gets the *first* image's rows; giving
+      all images identical annotations makes that bug a no-op.
+    """
+    torch = torch_cuda_on_cpu
+    from objectdetectionpl_tpu.ops import anchors as anchor_lib
+
+    B, C = 2, 12
+    labels, boxes, mask = _well_separated_targets(
+        B, C, [(0.2, 0.25), (0.6, 0.6), (0.82, 0.4)], wh=0.15)
+    dboxes = np.asarray(anchor_lib.ssd_dboxes(), np.float32)
+    D = dboxes.shape[0]
+    loc = rng.randn(B, D, 4).astype(np.float32)
+    cls = rng.randn(B, D, 1 + C).astype(np.float32)
+
+    crit = ref_losses.SSDLoss(
+        iou_boxes=torch.tensor(dboxes),
+        cls_criterion=torch.nn.CrossEntropyLoss,
+        coord_criterion=torch.nn.SmoothL1Loss, num_classes=1 + C,
+        img_size=300)
+    rows = to_reference_rows(labels + 1, boxes, mask)   # +1: explicit bg
+    ref = crit.forward(
+        (torch.tensor(loc), torch.tensor(cls)), torch.tensor(rows))
+
+    got = loss_lib.ssd_loss(
+        (jnp.asarray(loc), jnp.asarray(cls)), jnp.asarray(labels),
+        jnp.asarray(boxes), jnp.asarray(mask),
+        default_xywh=jnp.asarray(dboxes), num_classes=C)
+
+    for k in ("loss", "Localization", "Classification"):
+        np.testing.assert_allclose(
+            float(got[k]), float(ref[k]), rtol=2e-4, atol=1e-6,
+            err_msg=f"metric {k}")
+
+
+def test_retinanet_loss_parity(rng, ref_losses, torch_cuda_on_cpu):
+    """Golden parity vs the reference RetinaNetLoss on CPU
+    (losses.py:351-473), focal cls + SmoothL1 loc, /num_pos."""
+    torch = torch_cuda_on_cpu
+    from objectdetectionpl_tpu.ops import anchors as anchor_lib
+
+    B, C, S = 2, 8, 256
+    labels, boxes, mask = make_padded_targets(
+        rng, B, 5, C, counts=[3, 5])           # every image has >= 1 box
+    anchors = np.asarray(anchor_lib.retina_anchors(S), np.float32)
+    A = anchors.shape[0]
+    loc = rng.randn(B, A, 4).astype(np.float32)
+    cls = rng.randn(B, A, C).astype(np.float32)
+
+    crit = ref_losses.RetinaNetLoss(
+        iou_boxes=torch.tensor(anchors), cls_criterion=ref_losses.focal_loss,
+        coord_criterion=torch.nn.SmoothL1Loss, num_classes=C, img_size=S)
+    rows = to_reference_rows(labels, boxes, mask)
+    ref = crit.forward(
+        (torch.tensor(loc), torch.tensor(cls)), torch.tensor(rows))
+
+    got = loss_lib.retinanet_loss(
+        (jnp.asarray(loc), jnp.asarray(cls)), jnp.asarray(labels),
+        jnp.asarray(boxes), jnp.asarray(mask),
+        anchors_xywh=jnp.asarray(anchors), num_classes=C, img_size=float(S))
+
+    for k in ("loss", "Localization", "Classification"):
+        np.testing.assert_allclose(
+            float(got[k]), float(ref[k].detach()), rtol=2e-4, atol=1e-6,
+            err_msg=f"metric {k}")
+
+
+def test_ssd_focal_mode_runs(rng):
+    """SSD focal mode: foreground-channel softmax focal, finite loss+grad
+    (regression: previously crashed on a [D, C] vs [D, 1+C] shape clash)."""
+    import jax
+    B, M, C, D = 2, 4, 5, 64
+    labels, boxes, mask = make_padded_targets(rng, B, M, C)
+    dboxes = np.stack([rng.uniform(0.1, 0.9, D), rng.uniform(0.1, 0.9, D),
+                       rng.uniform(0.05, 0.4, D), rng.uniform(0.05, 0.4, D)],
+                      -1).astype(np.float32)
+    loc = jnp.asarray(rng.randn(B, D, 4), np.float32)
+    cls = jnp.asarray(rng.randn(B, D, 1 + C), np.float32)
+    fn = lambda c: loss_lib.ssd_loss(
+        (loc, c), jnp.asarray(labels), jnp.asarray(boxes), jnp.asarray(mask),
+        default_xywh=jnp.asarray(dboxes), num_classes=C,
+        cls_mode="focal")["loss"]
+    v, g = jax.value_and_grad(fn)(cls)
+    assert np.isfinite(float(v))
+    assert bool(jnp.isfinite(g).all())
+
+
 @pytest.mark.parametrize("coord", ["mse_loss", "smooth_l1_loss"])
 def test_region_loss_v2_parity(rng, ref_losses, coord):
     import torch
