@@ -13,7 +13,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from objectdetectionpl_tpu.nn.blocks import ConvBN, max_pool, space_to_depth
+from objectdetectionpl_tpu.nn.blocks import (ConvBN, max_pool,
+                                             reorg_darknet_bug,
+                                             space_to_depth)
 
 # (features, kernel) per conv; 'M' = 2x2/2 maxpool.  Mirrors the stage-1 stack
 # of model/YOLOV2.py:42-76.
@@ -28,6 +30,11 @@ class YOLOv2(nn.Module):
     num_classes: int
     num_anchors: int = 5
     dtype: jnp.dtype = jnp.float32
+    # 's2d': true space-to-depth (default; the sane op, divergence documented
+    # in blocks.space_to_depth).  'darknet': bit-exact replica of the
+    # reference's scrambled reorg (model/YOLOV2.py:144-151) for weight
+    # transplants / bug-for-bug forward parity.
+    reorg: str = "s2d"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -46,7 +53,8 @@ class YOLOv2(nn.Module):
         # Passthrough: 1x1 to 64ch then space-to-depth 2x -> 256ch @ 13x13
         # (model/YOLOV2.py:96-97,144-151).
         p = ConvBN(64, 1, act="leaky", dtype=self.dtype)(residual, train)
-        p = space_to_depth(p, 2)
+        p = (reorg_darknet_bug(p) if self.reorg == "darknet"
+             else space_to_depth(p, 2))
 
         h = jnp.concatenate([h, p], axis=-1)
         h = ConvBN(1024, 3, act="leaky", dtype=self.dtype)(h, train)

@@ -94,6 +94,24 @@ def space_to_depth(x, block: int = 2):
     return x.reshape(B, H // block, W // block, C * block * block)
 
 
+def reorg_darknet_bug(x):
+    """Bit-exact replica of the reference's passthrough "reorg"
+    (model/YOLOV2.py:144-151): a channel-block view/permute that is NOT a true
+    space-to-depth — it scrambles (channel, spatial) positions the same way
+    the well-known buggy darknet-pytorch reorg does.  Provided so weight
+    transplants from the reference reproduce its forward exactly; pure
+    reshape/transpose, so XLA compiles it to a copy like ``space_to_depth``.
+
+    NHWC in [B, H, W, C] -> [B, H/2, W/2, 4C].
+    """
+    B, H, W, C = x.shape
+    t = jnp.transpose(x, (0, 3, 1, 2))              # NCHW like the reference
+    t = t.reshape(B, C // 4, H, 2, W, 2)            # .view(B, C/4, H, 2, W, 2)
+    t = jnp.transpose(t, (0, 3, 5, 1, 2, 4))        # .permute(0, 3, 5, 1, 2, 4)
+    t = t.reshape(B, 4 * C, H // 2, W // 2)         # .view(B, -1, H/2, W/2)
+    return jnp.transpose(t, (0, 2, 3, 1))           # back to NHWC
+
+
 def upsample2x(x):
     """Nearest-neighbor 2x upsample, NHWC (detector FPN paths)."""
     B, H, W, C = x.shape

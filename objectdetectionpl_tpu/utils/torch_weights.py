@@ -129,6 +129,106 @@ def load_resnet50_into_retinanet(params, batch_stats,
     return unflat(fp), unflat(fb), n
 
 
+# --- full-model transplants (architecture-parity proof + checkpoint import) ------
+
+# reference SSD module -> our flax submodule (models/ssd.py creation order).
+# f1 = torchvision new_layers[:23] (model/SSD.py:46-50); base1 = [23:] with
+# pool5 -> MaxPool2d(3,1,1); extras f2-f6 and cl/bbx heads per model/SSD.py:69-155.
+_SSD_F1_CONV_IDX = VGG16_CONV_IDX[:10]          # conv1_1 .. conv4_3
+_SSD_BASE1_CONV_IDX = [1, 3, 5]                 # conv5_1..3 inside base1
+_SSD_EXTRAS = [("f2.0", "ConvBN_0"), ("f2.2", "ConvBN_1"),
+               ("f3.0", "ConvBN_2"), ("f3.2", "ConvBN_3"),
+               ("f4.0", "ConvBN_4"), ("f4.2", "ConvBN_5"),
+               ("f5.0", "ConvBN_6"), ("f5.2", "Conv_0"),
+               ("f6.0", "ConvBN_7"), ("f6.2", "Conv_1")]
+
+
+def _flat(params):
+    import flax
+    return flax.traverse_util.flatten_dict(flax.core.unfreeze(params), sep="/")
+
+
+def _unflat(flat):
+    import flax
+    return flax.core.freeze(flax.traverse_util.unflatten_dict(
+        {tuple(k.split("/")): v for k, v in flat.items()}))
+
+
+def load_reference_ssd(params, state_dict):
+    """Transplant a complete reference-SSD state_dict (model/SSD.py:40-160)
+    into our flax SSD.  Covers backbone, extras, and all 12 cl/bbx heads;
+    with identical weights the two forwards agree elementwise (the class-head
+    channel counts must match: build our SSD with num_classes = ref C - 1
+    because ours adds an explicit background channel).
+
+    Returns (params, n_loaded).
+    """
+    flat = _flat(params)
+    n = 0
+
+    def put_conv(tk: str, fk: str):
+        nonlocal n
+        w = np.asarray(state_dict[f"{tk}.weight"])
+        kw = f"{fk}/kernel"
+        assert flat[kw].shape == conv_to_flax(w).shape, (kw, flat[kw].shape,
+                                                         w.shape)
+        flat[kw] = conv_to_flax(w)
+        if f"{tk}.bias" in state_dict:
+            flat[f"{fk}/bias"] = np.asarray(state_dict[f"{tk}.bias"])
+        n += 1
+
+    for j, ti in enumerate(_SSD_F1_CONV_IDX):
+        put_conv(f"f1.{ti}", f"_VGGStack_0/ConvBN_{j}/Conv_0")
+    for j, ti in enumerate(_SSD_BASE1_CONV_IDX):
+        put_conv(f"base1.{ti}", f"_VGGStack_1/ConvBN_{j}/Conv_0")
+    for tk, fk in _SSD_EXTRAS:
+        put_conv(tk, fk if fk.startswith("Conv_") else f"{fk}/Conv_0")
+    for i in range(1, 7):       # heads: cl_i -> Conv_{2i}, bbx_i -> Conv_{2i+1}
+        put_conv(f"cl{i}.0", f"Conv_{2 * i}")
+        put_conv(f"bbx{i}.0", f"Conv_{2 * i + 1}")
+    return _unflat(flat), n
+
+
+# reference YOLOv2 module -> our flax submodule (models/yolov2.py creation
+# order): stage1_conv1..13 -> ConvBN_0..12, stage2_a_conv1..7 -> ConvBN_13..19,
+# stage2_b_conv -> ConvBN_20, stage3_conv1 -> ConvBN_21, stage3_conv2 -> Conv_0
+# (model/YOLOV2.py:42-102).
+def load_reference_yolov2(params, batch_stats, state_dict):
+    """Transplant a complete reference-YOLOv2 state_dict into our flax YOLOv2
+    (build it with ``reorg='darknet'`` for exact forward parity — the
+    reference's passthrough reorg is the scrambled darknet-bug variant).
+
+    Returns (params, batch_stats, n_loaded).
+    """
+    fp, fb = _flat(params), _flat(batch_stats)
+    n = 0
+
+    def put(tk: str, base: str):
+        nonlocal n
+        w = np.asarray(state_dict[f"{tk}.0.weight"])
+        kw = f"{base}/Conv_0/kernel"
+        assert fp[kw].shape == conv_to_flax(w).shape, (kw, fp[kw].shape,
+                                                       w.shape)
+        fp[kw] = conv_to_flax(w)
+        fp[f"{base}/BatchNorm_0/scale"] = np.asarray(state_dict[f"{tk}.1.weight"])
+        fp[f"{base}/BatchNorm_0/bias"] = np.asarray(state_dict[f"{tk}.1.bias"])
+        fb[f"{base}/BatchNorm_0/mean"] = np.asarray(
+            state_dict[f"{tk}.1.running_mean"])
+        fb[f"{base}/BatchNorm_0/var"] = np.asarray(
+            state_dict[f"{tk}.1.running_var"])
+        n += 1
+
+    for i in range(1, 14):
+        put(f"stage1_conv{i}", f"ConvBN_{i - 1}")
+    for i in range(1, 8):
+        put(f"stage2_a_conv{i}", f"ConvBN_{12 + i}")
+    put("stage2_b_conv", "ConvBN_20")
+    put("stage3_conv1", "ConvBN_21")
+    fp["Conv_0/kernel"] = conv_to_flax(state_dict["stage3_conv2.weight"])
+    n += 1
+    return _unflat(fp), _unflat(fb), n
+
+
 def convert_generic_conv_bn(torch_prefix: str, state_dict,
                             ) -> Tuple[np.ndarray, dict]:
     """Helper: (conv kernel, {scale, bias, mean, var}) for a torch
