@@ -50,11 +50,15 @@ def bench_one(model_name, variant, img, batch, classes, iters=10, warmup=2):
 
     raw = jax.device_put(np.random.randint(
         0, 255, (batch, img, img, 3)).astype(np.uint8))
+    # NOTE: through the remote-device tunnel jax.block_until_ready is NOT a
+    # reliable execution barrier (CLAUDE.md); force a device->host scalar
+    # fetch per iteration, same as bench.py.
+    fetch = lambda r: float(r.valid.sum())
     for _ in range(warmup):
-        jax.block_until_ready(e2e(raw))
+        fetch(e2e(raw))
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(e2e(raw))
+        fetch(e2e(raw))
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

@@ -53,6 +53,13 @@ def main(argv=None):
     overrides = {k: _coerce(v) for k, v in args.set}
     cfg = load_config(args.config, overrides)
 
+    # Multi-host: initialize jax.distributed before the first backend touch
+    # when coordinator env vars are set (no-op single-host).  SURVEY.md §2.11.
+    from objectdetectionpl_tpu.parallel import maybe_initialize
+    if maybe_initialize():
+        print(f"[run] distributed: process {jax.process_index()} / "
+              f"{jax.process_count()}")
+
     print(f"[run] model={cfg.model_name} dataset={cfg.data_module} "
           f"img_size={cfg.effective_img_size} batch={cfg.batch_size} "
           f"accum={cfg.accumulate_grad_batches}")

@@ -70,13 +70,20 @@ class Config:
     auto_lr_find: bool = True
     auto_scale_batch_size: str = "power"
 
+    # pretrained torch weights (model/SSD.py:46 vgg16(pretrained=True) analogue):
+    # path to a torch state_dict; routed by key signature (utils/torch_weights)
+    torch_ckpt: str = ""
+
     # TPU-native knobs (no reference equivalent)
     compute_dtype: str = "float32"    # "bfloat16" for MXU-friendly compute
     ema_decay: float = 0.0            # param EMA for eval/serving (0 = off)
     profile_steps: int = 0            # trace this many train steps to TB
     nan_check: bool = True            # raise on non-finite train loss
     histogram_every: int = 1          # param histograms every N epochs (0=off)
-    log_every_steps: int = 1          # pull per-step metrics to host every N steps
+    log_every_steps: int = 50         # pull per-step metrics to host every N
+                                      # steps (1 forces a device sync per step)
+    prefetch_batches: int = 2         # host->device input double buffering
+    v3_double_stride: bool = False    # bug-for-bug ref YOLOv3 anchor scaling
     conf_thres: float = 0.5           # NMS confidence threshold (YOLO families)
     nms_thres: float = 0.4            # NMS IoU threshold (YOLO families)
     nms_top_k: int = 300              # NMS candidate pool

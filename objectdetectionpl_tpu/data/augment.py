@@ -36,16 +36,23 @@ class AugmentConfig(NamedTuple):
 def _affine_warp(img, matrix):
     """Inverse-warp one HWC image by a 3x3 affine matrix (output->input).
 
+    ``matrix`` maps *normalized* [0,1] output coords to normalized input
+    coords (the frame _rot_shift_scale_matrix builds); pixel coords use the
+    pixel-center convention x_n = (x_p + 0.5) / W so a rotation about
+    normalized 0.5 rotates about the true image center.  (Regression: pixel
+    coords were previously fed to the normalized matrix directly, rotating
+    the image about the corner while boxes rotated about the center.)
+
     Hand-rolled bilinear warp gathering whole RGB pixels (one take per
     corner) — ~3x fewer gather ops than per-channel map_coordinates, the
     hot spot of device-side augmentation.
     """
     H, W, C = img.shape
-    ys = jnp.arange(H, dtype=jnp.float32)
-    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+    xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
     yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-    sx = matrix[0, 0] * xx + matrix[0, 1] * yy + matrix[0, 2]  # [H, W]
-    sy = matrix[1, 0] * xx + matrix[1, 1] * yy + matrix[1, 2]
+    sx = (matrix[0, 0] * xx + matrix[0, 1] * yy + matrix[0, 2]) * W - 0.5
+    sy = (matrix[1, 0] * xx + matrix[1, 1] * yy + matrix[1, 2]) * H - 0.5
 
     inside = (sx >= 0) & (sx <= W - 1) & (sy >= 0) & (sy <= H - 1)
     sx = jnp.clip(sx, 0.0, W - 1.0)

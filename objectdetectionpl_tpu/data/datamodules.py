@@ -40,16 +40,26 @@ class DataModule:
         raise NotImplementedError
 
     def _loader(self, parser, shuffle, indices=None, limit=None,
-                batch_size: Optional[int] = None) -> Loader:
+                batch_size: Optional[int] = None, sharded: bool = False
+                ) -> Loader:
         cfg = self.cfg
+        if sharded:
+            from objectdetectionpl_tpu.parallel import data_shard
+            num_shards, shard_id = data_shard()
+        else:
+            num_shards, shard_id = 1, 0
         return Loader(parser, cfg.effective_img_size,
                       batch_size or cfg.batch_size, cfg.max_boxes,
                       shuffle=shuffle, seed=cfg.seed, indices=indices,
-                      limit_batches=limit, letterbox=cfg.letterbox)
+                      limit_batches=limit, letterbox=cfg.letterbox,
+                      num_shards=num_shards, shard_id=shard_id)
 
     def train_dataloader(self) -> Loader:
+        # train batches are process-sharded (per-host input pipeline);
+        # val/test run the full set on every host so their metrics need no
+        # cross-host reduction.
         return self._loader(self.train_parser, True, self.train_idx,
-                            self.cfg.limit_train_batches)
+                            self.cfg.limit_train_batches, sharded=True)
 
     def val_dataloader(self) -> Loader:
         return self._loader(self.val_parser, False, self.val_idx,

@@ -59,7 +59,8 @@ class Loader:
                  max_boxes: int = 100, shuffle: bool = False, seed: int = 0,
                  indices: Optional[Sequence[int]] = None,
                  drop_last: bool = True, limit_batches: Optional[int] = None,
-                 letterbox: bool = False):
+                 letterbox: bool = False, num_shards: int = 1,
+                 shard_id: int = 0):
         self.parser = parser
         self.img_size = img_size
         self.batch_size = batch_size
@@ -72,10 +73,21 @@ class Loader:
         self.drop_last = drop_last
         self.limit_batches = limit_batches
         self.letterbox = letterbox
+        # Per-host input sharding (multi-process data parallelism): every
+        # host shuffles the FULL index list with the same seed, then takes a
+        # process-strided, equal-length slice — the DistributedSampler
+        # analogue.  Equal lengths keep hosts in lockstep at collectives.
+        self.num_shards = max(int(num_shards), 1)
+        self.shard_id = int(shard_id)
+
+    def _shard_len(self) -> int:
+        return len(self.indices) // self.num_shards
 
     def __len__(self):
-        n = len(self.indices) // self.batch_size
-        if not self.drop_last and len(self.indices) % self.batch_size:
+        n_items = (self._shard_len() if self.num_shards > 1
+                   else len(self.indices))
+        n = n_items // self.batch_size
+        if not self.drop_last and n_items % self.batch_size:
             n += 1
         return min(n, self.limit_batches) if self.limit_batches else n
 
@@ -113,6 +125,8 @@ class Loader:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(order)
         self.epoch += 1
+        if self.num_shards > 1:
+            order = order[self.shard_id::self.num_shards][:self._shard_len()]
 
         from objectdetectionpl_tpu.data import native
 
@@ -175,6 +189,40 @@ def _letterbox_boxes(boxes_px: np.ndarray, s: float, px: float, py: float,
         ((bx[:, 0] + bx[:, 2] / 2) * s + px) / S,
         ((bx[:, 1] + bx[:, 3] / 2) * s + py) / S,
         bx[:, 2] * s / S, bx[:, 3] * s / S], -1)
+
+
+def prefetch(gen, depth: int = 2):
+    """Run a generator in a background thread with a bounded queue.
+
+    Used to overlap host-side decode/preproc (and async device-put dispatch)
+    with device compute — the double-buffered input pipeline that keeps the
+    train step device-bound (the 1-core host loop was epoch-dominant).
+    JAX dispatch is thread-safe; items are consumed in order.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(int(depth), 1))
+    end = object()
+    err = []
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:      # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(end)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is end:
+            if err:
+                raise err[0]
+            return
+        yield item
 
 
 def random_split_indices(n: int, frac: float = 0.8, seed: int = 42):

@@ -32,13 +32,22 @@ def _last_write_wins(lin_idx, valid):
     """Mask off all but the last valid occurrence of each linear index.
 
     lin_idx: int32 [N] flattened scatter indices, valid: bool [N].
-    Returns bool [N]; O(N^2) comparisons — N is small (B*M <= a few thousand).
+    Returns bool [N].  O(N log N): stable-sort by index, keep each sorted
+    run's final element (invalid entries get unique sentinel keys so they
+    never join a run).  Replaces an O(N^2) comparison matrix that
+    materialized 6400x6400 bools per scale at B=64, M=100.
     """
     n = lin_idx.shape[0]
-    same = lin_idx[None, :] == lin_idx[:, None]           # [N, N]
-    later = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)   # j > i
-    dup_later = jnp.any(same & later & valid[None, :], axis=1)
-    return valid & ~dup_later
+    pos = jnp.arange(n, dtype=jnp.int64 if lin_idx.dtype == jnp.int64
+                     else jnp.int32)
+    big = jnp.iinfo(pos.dtype).max - n
+    key = jnp.where(valid, lin_idx, big + pos)       # invalid -> unique keys
+    order = jnp.argsort(key, stable=True)            # equal keys keep position order
+    sorted_key = key[order]
+    last_of_run = jnp.concatenate(
+        [sorted_key[:-1] != sorted_key[1:], jnp.ones((1,), bool)])
+    win = jnp.zeros((n,), bool).at[order].set(last_of_run)
+    return valid & win
 
 
 class YoloTargets(NamedTuple):

@@ -361,10 +361,17 @@ def retinanet_loss(outputs, labels, boxes, mask, anchors_xywh,
 
 def make_loss(model_name: str, num_classes: int, img_size: int,
               coord_criterion: str = "smooth_l1_loss",
-              cls_criterion: str = "bce_loss", anchors=None, **kw):
+              cls_criterion: str = "bce_loss", anchors=None,
+              v3_double_stride: bool = False, **kw):
     """String-config loss factory, parity with configure_loss (losses.py:9-35).
 
     Returns a pure fn ``(outputs, labels, boxes, mask) -> metrics dict``.
+
+    ``v3_double_stride=True`` reproduces the reference's YOLOv3 anchor bug
+    exactly: anchors are divided by the stride twice (once at model init,
+    model/YOLOV3.py:54, then again inside compute_grid_offsets,
+    losses.py:665), shrinking them by 8-32x.  Default False (single
+    division — the documented rationalization).
     """
     from objectdetectionpl_tpu.ops import anchors as anchor_lib
 
@@ -385,8 +392,9 @@ def make_loss(model_name: str, num_classes: int, img_size: int,
                                  coord_criterion=coord, **kw)
     if model_name == "YOLOv3":
         anc = anchor_lib.YOLOV3_ANCHORS if anchors is None else anchors
-        per_scale = [jnp.asarray(anc[i]) / s
-                     for i, s in enumerate(anchor_lib.YOLOV3_STRIDES)]
+        div = [s * s if v3_double_stride else s
+               for s in anchor_lib.YOLOV3_STRIDES]
+        per_scale = [jnp.asarray(anc[i]) / d for i, d in enumerate(div)]
         return functools.partial(multiscale_region_loss,
                                  anchors_grid_per_scale=per_scale,
                                  num_classes=num_classes,

@@ -29,7 +29,11 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     devices = list(devices if devices is not None else jax.devices())
     if shape is None:
         shape = (len(devices), 1)
-    arr = np.asarray(devices).reshape(tuple(shape))
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh shape {tuple(shape)} needs {n} devices, "
+                         f"have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(tuple(shape))
     return Mesh(arr, ("data", "model"))
 
 

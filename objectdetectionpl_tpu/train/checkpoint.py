@@ -15,27 +15,32 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, save_top_k: int = 3):
+    def __init__(self, directory: str, save_top_k: int = 3,
+                 async_save: bool = True):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
             max_to_keep=save_top_k,
             best_fn=lambda metrics: metrics["val_loss"],
             best_mode="min",
-            enable_async_checkpointing=False,
+            # async: the device->host gather happens synchronously but disk
+            # serialization overlaps the next epoch (epoch wall time was
+            # checkpoint-bound through the tunnel); orbax blocks on the
+            # in-flight save automatically if the next save starts early.
+            enable_async_checkpointing=async_save,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: Any, val_loss: float):
         self._mgr.save(step, args=ocp.args.StandardSave(state),
                        metrics={"val_loss": float(val_loss)})
-        self._mgr.wait_until_finished()
         self.write_best_model_path()
 
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()
 
     def restore(self, state_template: Any, step: Optional[int] = None):
+        self._mgr.wait_until_finished()      # drain any in-flight async save
         step = step if step is not None else self._mgr.best_step()
         if step is None:
             return None
@@ -61,6 +66,7 @@ class CheckpointManager:
         return None
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

@@ -55,7 +55,8 @@ class Trainer:
         self.loss_fn = loss_lib.make_loss(
             cfg.model_name, self.num_classes, self.img_size,
             coord_criterion=cfg.coord_criterion,
-            cls_criterion=cfg.cls_criterion)
+            cls_criterion=cfg.cls_criterion,
+            v3_double_stride=cfg.v3_double_stride)
         self.tx = optim.build_optimizer(cfg)
         self.scheduler = optim.build_scheduler(cfg)
         self.mesh = make_mesh(shape=cfg.mesh_shape)
@@ -64,6 +65,16 @@ class Trainer:
         self.state = state_lib.create_train_state(
             self.model, self.tx, rng, self.img_size,
             batch_size=max(cfg.batch_size, 1), ema_decay=cfg.ema_decay)
+        if cfg.torch_ckpt:
+            # pretrained torch weights at construction (model/SSD.py:46)
+            from objectdetectionpl_tpu.utils import torch_weights
+            sd = torch_weights.read_torch_state_dict(cfg.torch_ckpt)
+            params, batch_stats, n, desc = torch_weights.load_torch_checkpoint(
+                cfg.model_name, self.state.params, self.state.batch_stats, sd)
+            self.state = self.state.replace(params=params,
+                                            batch_stats=batch_stats)
+            print(f"[trainer] loaded {n} tensors from {cfg.torch_ckpt} "
+                  f"({desc})")
         self.multichip = self.mesh.devices.size > 1
         if self.multichip:
             # replicate state; batches are placed sharded over 'data'
@@ -120,10 +131,12 @@ class Trainer:
         labels = jnp.asarray(batch.labels)
         mask = jnp.asarray(batch.mask)
         if self.multichip:
-            from objectdetectionpl_tpu.parallel import batch_sharding
-            sh = batch_sharding(self.mesh)
+            # host_local_batch assembles the global array from per-process
+            # shards under multi-host; single-process it is a sharded put.
+            from objectdetectionpl_tpu.parallel import host_local_batch
             images, boxes, labels, mask = (
-                jax.device_put(v, sh) for v in (images, boxes, labels, mask))
+                host_local_batch(self.mesh, v)
+                for v in (images, boxes, labels, mask))
         if augment:
             if self.cfg.mosaic > 0:
                 from objectdetectionpl_tpu.data.augment import mosaic_batch
@@ -161,8 +174,15 @@ class Trainer:
             if profiling:
                 jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
             first_batch = True
-            for batch in self.dm.train_dataloader():
-                micro.append(self._device_batch(batch, augment=True))
+            # double-buffered input: host decode/preproc + device-put run in
+            # a background thread, overlapping device compute
+            batches = (self._device_batch(b, augment=True)
+                       for b in self.dm.train_dataloader())
+            if cfg.prefetch_batches > 0:
+                from objectdetectionpl_tpu.data.pipeline import prefetch
+                batches = prefetch(batches, cfg.prefetch_batches)
+            for device_batch in batches:
+                micro.append(device_batch)
                 if cfg.view_mark and first_batch:
                     self._view_mark(micro[0], epoch)
                     first_batch = False
@@ -172,26 +192,33 @@ class Trainer:
                            for i in range(4)]
                 micro = []
                 self.state, metrics = self.train_step(self.state, *stacked)
-                if profiling and self.global_step + 1 >= cfg.profile_steps:
-                    jax.block_until_ready(metrics["loss"])
-                    jax.profiler.stop_trace()
-                    profiling = False
                 n_imgs += stacked[0].shape[0] * stacked[0].shape[1]
-                # Pulling metrics to host synchronizes with the device every
-                # step; at log_every_steps > 1 intermediate steps stay async
-                # (metrics kept as device arrays, reduced at epoch end).
-                if self.global_step % max(cfg.log_every_steps, 1) == 0:
-                    metrics = {k: float(v) for k, v in metrics.items()}
-                    if cfg.nan_check and not np.isfinite(metrics["loss"]):
-                        raise FloatingPointError(
-                            f"non-finite loss at step {self.global_step}: "
-                            f"{metrics} — enable jax_debug_nans or lower lr")
-                    for k, v in metrics.items():
-                        self.writer.scalar(f"Loss/{k}/Train", v,
-                                           self.global_step)
+                metrics, profiling = self._log_train_step(metrics, cfg,
+                                                          profiling)
                 epoch_metrics.append(metrics)
                 self.global_step += 1
 
+            if micro:
+                # Flush the leftover partial accumulation window with
+                # zero-weight padding slots (the reference's Lightning loop
+                # silently dropped up to accum-1 tail microbatches per epoch).
+                n_real = len(micro)
+                n_imgs += sum(m[0].shape[0] for m in micro)
+                while len(micro) < cfg.accumulate_grad_batches:
+                    micro.append(micro[-1])
+                stacked = [jnp.stack([m[i] for m in micro])
+                           for i in range(4)]
+                weights = jnp.asarray(
+                    [1.0] * n_real
+                    + [0.0] * (cfg.accumulate_grad_batches - n_real),
+                    jnp.float32)
+                micro = []
+                self.state, metrics = self.train_step(self.state, *stacked,
+                                                      weights)
+                metrics, profiling = self._log_train_step(metrics, cfg,
+                                                          profiling)
+                epoch_metrics.append(metrics)
+                self.global_step += 1
             if epoch_metrics:
                 epoch_metrics = [{k: float(v) for k, v in m.items()}
                                  for m in epoch_metrics]
@@ -224,6 +251,26 @@ class Trainer:
                     break
             self.writer.flush()
         return self.state
+
+    def _log_train_step(self, metrics, cfg, profiling: bool):
+        """Per-step metric logging + profiler stop + NaN guard.
+
+        Pulling metrics to host synchronizes with the device every step; at
+        log_every_steps > 1 intermediate steps stay async (metrics kept as
+        device arrays, reduced at epoch end)."""
+        if profiling and self.global_step + 1 >= cfg.profile_steps:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            profiling = False
+        if self.global_step % max(cfg.log_every_steps, 1) == 0:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            if cfg.nan_check and not np.isfinite(metrics["loss"]):
+                raise FloatingPointError(
+                    f"non-finite loss at step {self.global_step}: "
+                    f"{metrics} — enable jax_debug_nans or lower lr")
+            for k, v in metrics.items():
+                self.writer.scalar(f"Loss/{k}/Train", v, self.global_step)
+        return metrics, profiling
 
     def _view_mark(self, device_batch, epoch: int, max_images: int = 4):
         """Log augmented training images with GT boxes drawn — the

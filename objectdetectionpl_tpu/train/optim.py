@@ -18,19 +18,41 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax
+import jax.numpy as jnp
 import optax
 
 
+def _scale_by_lr_decay(lr_decay: float) -> optax.GradientTransformation:
+    """torch Adagrad's ``lr_decay``: effective lr = lr / (1 + t * lr_decay)
+    with t = completed steps (reference passes it at optimizer.py:10)."""
+
+    def init(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params=None):
+        del params
+        factor = 1.0 / (1.0 + state.count.astype(jnp.float32) * lr_decay)
+        updates = jax.tree.map(lambda u: u * factor, updates)
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(cfg) -> optax.GradientTransformation:
-    """cfg needs: optimizer, lr, weight_decay, momentum, alpha, lr_decay."""
+    """cfg needs: optimizer, lr, weight_decay, momentum, alpha, lr_decay, betas."""
 
     def make(learning_rate):
         wd = [optax.add_decayed_weights(cfg.weight_decay)] if cfg.weight_decay else []
         name = cfg.optimizer
         if name == "Adam":
-            core = optax.scale_by_adam()
+            b1, b2 = cfg.betas
+            core = optax.scale_by_adam(b1=b1, b2=b2)
         elif name == "Adagrad":
             core = optax.scale_by_rss(initial_accumulator_value=0.0)
+            if cfg.lr_decay:
+                core = optax.chain(core, _scale_by_lr_decay(cfg.lr_decay))
         elif name == "RMSprop":
             core = optax.scale_by_rms(decay=cfg.alpha, eps=1e-8)
         elif name == "SGD":

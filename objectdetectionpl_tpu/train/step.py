@@ -43,20 +43,35 @@ def make_train_step(model, loss_fn: Callable, tx,
     grad_fn = jax.value_and_grad(loss_through_model, has_aux=True)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, images, labels, boxes, mask):
+    def train_step(state: TrainState, images, labels, boxes, mask,
+                   weights=None):
+        # weights [A]: per-microbatch contribution (0 = padding slot used to
+        # flush a leftover partial accumulation window at epoch end; the
+        # reference/Lightning silently dropped those tail microbatches).
+        if weights is None:
+            w = jnp.ones((images.shape[0],), jnp.float32)
+        else:
+            w = weights.astype(jnp.float32)
+
         def body(carry, micro):
             grads_acc, bstats = carry
-            im, lb, bx, mk = micro
+            im, lb, bx, mk, wi = micro
             (_, (metrics, new_bs)), grads = grad_fn(
                 state.params, bstats, im, lb, bx, mk)
-            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-            return (grads_acc, new_bs), metrics
+            grads_acc = jax.tree.map(lambda a, g: a + g * wi, grads_acc, grads)
+            # zero-weight micros must not pollute BN running statistics
+            bstats = jax.tree.map(lambda nb, ob: jnp.where(wi > 0, nb, ob),
+                                  new_bs, bstats)
+            return (grads_acc, bstats), metrics
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
         (grads, batch_stats), metrics = jax.lax.scan(
             body, (zero_grads, state.batch_stats),
-            (images, labels, boxes, mask))
-        grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            (images, labels, boxes, mask, w))
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        grads = jax.tree.map(lambda g: g / wsum, grads)
+        metrics = jax.tree.map(
+            lambda m: jnp.sum(m * w) / wsum, metrics)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree.map(jnp.add, state.params, updates)
@@ -68,7 +83,7 @@ def make_train_step(model, loss_fn: Callable, tx,
         new_state = state.replace(step=state.step + 1, params=params,
                                   batch_stats=batch_stats,
                                   opt_state=opt_state, ema_params=ema)
-        return new_state, jax.tree.map(jnp.mean, metrics)
+        return new_state, metrics
 
     return train_step
 

@@ -229,6 +229,58 @@ def load_reference_yolov2(params, batch_stats, state_dict):
     return _unflat(fp), _unflat(fb), n
 
 
+def load_torch_checkpoint(model_name: str, params, batch_stats,
+                          state_dict: Dict[str, np.ndarray]):
+    """Route a torch state_dict into the right converter by key signature.
+
+    The reference constructs SSD from pretrained torchvision VGG16 at init
+    (model/SSD.py:46); this is the config-driven equivalent (``torch_ckpt:``
+    key).  Accepted signatures:
+
+    - ``features.*``            torchvision vgg16 -> SSD backbone
+    - ``f1.* / cl1.*``          full reference SSD state_dict
+    - ``conv1./layer1.*``       torchvision resnet50 -> RetinaNet backbone
+    - ``stage1_conv1.*``        full reference YOLOv2 state_dict
+
+    Returns (params, batch_stats, n_loaded, description).
+    """
+    keys = set(state_dict)
+
+    def has(prefix):
+        return any(k.startswith(prefix) for k in keys)
+
+    if model_name == "SSD":
+        if has("f1.") and has("cl1."):
+            params, n = load_reference_ssd(params, state_dict)
+            return params, batch_stats, n, "reference SSD (full model)"
+        params, n = load_vgg16_into_ssd(params, state_dict)
+        return params, batch_stats, n, "vgg16 backbone"
+    if model_name == "RetinaNet":
+        params, batch_stats, n = load_resnet50_into_retinanet(
+            params, batch_stats, state_dict)
+        return params, batch_stats, n, "resnet50 backbone"
+    if model_name == "YOLOv2":
+        params, batch_stats, n = load_reference_yolov2(
+            params, batch_stats, state_dict)
+        return params, batch_stats, n, "reference YOLOv2 (full model)"
+    raise ValueError(
+        f"no torch-checkpoint converter for model {model_name!r} "
+        f"(supported: SSD, RetinaNet, YOLOv2)")
+
+
+def read_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """torch.load a checkpoint file -> {key: np.ndarray} (CPU)."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if "state_dict" in obj and isinstance(obj["state_dict"], dict):
+        obj = obj["state_dict"]
+    return {k: np.asarray(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v)
+            for k, v in obj.items()}
+
+
 def convert_generic_conv_bn(torch_prefix: str, state_dict,
                             ) -> Tuple[np.ndarray, dict]:
     """Helper: (conv kernel, {scale, bias, mean, var}) for a torch

@@ -162,3 +162,107 @@ def test_augment_batch_preserves_shapes_and_ranges(rng):
     assert boxes.shape == b.boxes.shape
     v = np.asarray(boxes)[np.asarray(mask)]
     assert (v >= -1e-5).all() and (v <= 1 + 1e-5).all()
+
+
+def test_container_parser(tmp_path, rng):
+    """Mosquito-Container fixture parity (dataset/Container.py:99-109):
+    VOC-style XML under train_cdc/train_annotations, -1 offset, degenerate
+    boxes dropped."""
+    from objectdetectionpl_tpu.data.parsers.container import (
+        CONTAINER_CLASSES, ContainerParser)
+    img_dir = tmp_path / "train_cdc" / "train_images"
+    ann_dir = tmp_path / "train_cdc" / "train_annotations"
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir(parents=True)
+    for i in range(2):
+        _write_jpg(str(img_dir / f"c{i}.jpg"), rng)
+        _voc_xml(str(ann_dir / f"c{i}.xml"),
+                 [(6, 8, 30, 28, i), (0, 0, 0, 0, 1)],   # 2nd degenerate
+                 CONTAINER_CLASSES)
+    p = ContainerParser(str(tmp_path))
+    assert len(p) == 2
+    ex = p[0]
+    assert len(ex.labels) == 1                       # degenerate box dropped
+    np.testing.assert_allclose(ex.boxes[0], [5, 7, 24, 20])  # -1 offset
+    assert ex.labels[0] == 0
+    assert len(CONTAINER_CLASSES) == 13
+
+
+def test_asiatraffic_parser(tmp_path, rng):
+    """Asia-Traffic fixture parity (dataset/AsiaTraffic.py:74-122): ids from
+    ImageSets/All.txt, VOC-style XML, 4 classes."""
+    from objectdetectionpl_tpu.data.parsers.asiatraffic import (
+        ASIA_CLASSES, AsiaTrafficParser)
+    (tmp_path / "JPEGImages").mkdir()
+    (tmp_path / "Annotations").mkdir()
+    (tmp_path / "ImageSets").mkdir()
+    ids = ["t0", "t1", "t2"]
+    for i, _id in enumerate(ids):
+        _write_jpg(str(tmp_path / "JPEGImages" / f"{_id}.jpg"), rng)
+        _voc_xml(str(tmp_path / "Annotations" / f"{_id}.xml"),
+                 [(4, 5, 20, 22, i % 4)], ASIA_CLASSES)
+    (tmp_path / "ImageSets" / "All.txt").write_text("\n".join(ids))
+    p = AsiaTrafficParser(str(tmp_path))
+    assert len(p) == 3
+    ex = p[1]
+    np.testing.assert_allclose(ex.boxes[0], [3, 4, 16, 17])
+    assert ex.labels[0] == 1
+    assert len(ASIA_CLASSES) == 4
+
+
+def test_loader_microbatch_flush_weights():
+    """Train-step weights: a zero-weight padded micro must not change params
+    differently from the unpadded half-window (regression for the tail-drop)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from objectdetectionpl_tpu.models import build_model
+    from objectdetectionpl_tpu.ops import losses as loss_lib
+    from objectdetectionpl_tpu.train import state as state_lib, step as step_lib
+
+    model = build_model("YOLOv2", 3)
+    tx = optax.sgd(0.1)
+    st = state_lib.create_train_state(model, tx, jax.random.PRNGKey(0), 64,
+                                      batch_size=2)
+    loss_fn = loss_lib.make_loss("YOLOv2", 3, 64)
+    step2 = step_lib.make_train_step(model, loss_fn, tx, accum_steps=2)
+
+    rng = np.random.RandomState(0)
+    im = jnp.asarray(rng.rand(1, 2, 64, 64, 3), jnp.float32)
+    lb = jnp.zeros((1, 2, 4), jnp.int32)
+    bx = jnp.tile(jnp.asarray([0.5, 0.5, 0.4, 0.4]), (1, 2, 4, 1))
+    mk = jnp.ones((1, 2, 4), bool).at[:, :, 2:].set(False)
+
+    # train_step donates its state argument; copy per call
+    copy_state = lambda s: jax.tree.map(jnp.copy, s)
+    pad = lambda a: jnp.concatenate([a, a], axis=0)
+    w = jnp.asarray([1.0, 0.0])
+    s_pad, m_pad = step2(copy_state(st), pad(im), pad(lb), pad(bx), pad(mk), w)
+
+    # reference: single-micro window with accum=1
+    step1 = step_lib.make_train_step(model, loss_fn, tx, accum_steps=1)
+    s_one, m_one = step1(copy_state(st), im, lb, bx, mk)
+
+    np.testing.assert_allclose(float(m_pad["loss"]), float(m_one["loss"]),
+                               rtol=1e-6)
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     s_pad.params, s_one.params)
+    assert max(jax.tree.leaves(d)) < 1e-6
+
+
+def test_affine_warp_rotates_about_center():
+    """Pure rotation must keep centered content centered (regression: the
+    normalized-coords matrix was applied to raw pixel coords, rotating the
+    image about the corner while boxes rotated about the center)."""
+    import jax.numpy as jnp
+    from objectdetectionpl_tpu.data.augment import (_affine_warp,
+                                                    _rot_shift_scale_matrix)
+    S = 64
+    img = np.zeros((S, S, 3), np.float32)
+    img[24:40, 28:36] = 1.0                   # tall box at center
+    fwd = _rot_shift_scale_matrix(jnp.deg2rad(90.0), 1.0, 0.0, 0.0)
+    out = np.asarray(_affine_warp(jnp.asarray(img), jnp.linalg.inv(fwd)))
+    ys, xs = np.nonzero(out[..., 0] > 0.5)
+    # mass stays centered and the box is now wide
+    assert abs(ys.mean() - 31.5) < 1.0 and abs(xs.mean() - 31.5) < 1.0
+    assert ys.max() - ys.min() < xs.max() - xs.min()

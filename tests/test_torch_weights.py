@@ -153,3 +153,36 @@ def test_resnet50_conversion_feature_parity(rng):
         state["intermediates"], sep="/")
     c5 = np.asarray(inter["Bottleneck_15/__call__"][0])
     np.testing.assert_allclose(c5, t_c5, rtol=1e-2, atol=1e-2)
+
+
+def test_torch_ckpt_config_wiring(tmp_path):
+    """config.torch_ckpt -> Trainer restores converted weights at state
+    creation (the model/SSD.py:46 pretrained-VGG16 analogue, CLI-reachable)."""
+    import torch
+    import flax
+    from objectdetectionpl_tpu.config import Config
+    from objectdetectionpl_tpu.train.loop import Trainer
+
+    feats = _torch_vgg16_features()
+    ckpt = tmp_path / "vgg16.pth"
+    torch.save({f"features.{k}": v for k, v in feats.state_dict().items()},
+               str(ckpt))
+
+    cfg = Config(data_module="Synthetic", synthetic_size=4, batch_size=1,
+                 model_name="SSD", img_size=300, max_boxes=8,
+                 log_dir=str(tmp_path / "log"), torch_ckpt=str(ckpt),
+                 mesh_shape=(1, 1))
+    t = Trainer(cfg)
+
+    flat = flax.traverse_util.flatten_dict(
+        flax.core.unfreeze(t.state.params), sep="/")
+    got = np.asarray(flat["_VGGStack_0/ConvBN_0/Conv_0/kernel"])
+    want = feats[0].weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_load_torch_checkpoint_routing():
+    """Key-signature routing picks the right converter per model."""
+    from objectdetectionpl_tpu.utils.torch_weights import load_torch_checkpoint
+    with pytest.raises(ValueError):
+        load_torch_checkpoint("YOLOv5", {}, {}, {"x": np.zeros(1)})

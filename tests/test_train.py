@@ -197,3 +197,132 @@ def test_fuse_conv_bn_equivalence(rng):
     fused = conv.apply({"params": {"kernel": k, "bias": b}}, x)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_global_batchnorm_sharded_grad_equivalence(rng):
+    """Global-BN-under-sharding (nn/blocks.py claim): gradients of a ConvBN
+    stack over an 8-way-sharded batch match the single-device gradients.
+
+    Uses a shallow stack — a fresh 22-layer BN network's float32 gradient is
+    intrinsically ill-conditioned (a 1e-6 input perturbation moves gradients
+    as much as any reduction reorder), so depth-2 is the honest equivalence
+    probe; the full train step is covered below at the loss/stats level."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from flax import linen as nn
+    from objectdetectionpl_tpu.nn.blocks import ConvBN
+    from objectdetectionpl_tpu.parallel import make_mesh
+
+    class Stack(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            x = ConvBN(16, 3, stride=2)(x, train)
+            x = ConvBN(32, 3, stride=2)(x, train)
+            return x
+
+    model = Stack()
+    x = jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, batch_stats, xx):
+        out, upd = model.apply({"params": params, "batch_stats": batch_stats},
+                               xx, train=True, mutable=["batch_stats"])
+        return jnp.mean(out ** 2), upd["batch_stats"]
+
+    gfn = jax.jit(jax.grad(loss, has_aux=True))
+    g1, bs1 = gfn(variables["params"], variables["batch_stats"], x)
+
+    mesh = make_mesh(jax.devices()[:8], shape=(8, 1))
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P("data"))
+    p8 = jax.tree.map(lambda v: jax.device_put(v, rep), variables["params"])
+    b8 = jax.tree.map(lambda v: jax.device_put(v, rep),
+                      variables["batch_stats"])
+    with jax.set_mesh(mesh):
+        g8, bs8 = gfn(p8, b8, jax.device_put(x, shd))
+
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6), g1, g8)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6), bs1, bs8)
+
+
+def test_multidevice_matches_single_device(rng):
+    """8-device sharded FULL train step == single-device step on identical
+    data at the loss / BN-statistics level (the full-depth gradient is
+    float32-ill-conditioned at init; see the ConvBN equivalence test above
+    for the tight gradient proof)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from objectdetectionpl_tpu.models import build_model
+    from objectdetectionpl_tpu.ops import losses as loss_lib
+    from objectdetectionpl_tpu.parallel import make_mesh
+    from objectdetectionpl_tpu.train import state as state_lib, step as step_lib
+
+    C, S, B, A = 3, 64, 8, 2
+    model = build_model("YOLOv2", C)
+    loss_fn = loss_lib.make_loss("YOLOv2", C, S)
+    tx = optax.sgd(1.0)
+    st0 = state_lib.create_train_state(model, tx, jax.random.PRNGKey(0), S,
+                                       batch_size=2)
+    step = step_lib.make_train_step(model, loss_fn, tx, accum_steps=A)
+
+    im = jnp.asarray(rng.rand(A, B, S, S, 3), jnp.float32)
+    lb = jnp.asarray(rng.randint(0, C, (A, B, 4)), jnp.int32)
+    from tests.conftest import make_padded_targets
+    _, bx_np, mk_np = make_padded_targets(rng, A * B, 4, C)
+    bx = jnp.asarray(bx_np).reshape(A, B, 4, 4)
+    mk = jnp.asarray(mk_np).reshape(A, B, 4)
+
+    # 8-device mesh: state replicated, batch dim sharded (replicate BEFORE
+    # the single-device step — train_step donates its state argument)
+    mesh = make_mesh(jax.devices()[:8], shape=(8, 1))
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(None, "data"))
+    st8 = jax.tree.map(lambda x: jax.device_put(x, rep), st0)
+    args8 = [jax.device_put(v, shd) for v in (im, lb, bx, mk)]
+
+    # single device (fresh copy: the step donates its state argument, and
+    # st8's device-0 shard may alias st0's buffers)
+    s1, m1 = step(jax.tree.map(jnp.copy, st0), im, lb, bx, mk)
+    with jax.set_mesh(mesh):
+        s8, m8 = step(st8, *args8)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+    bn_diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        s1.batch_stats, s8.batch_stats)
+    assert max(jax.tree.leaves(bn_diffs)) < 1e-4
+    assert all(bool(jnp.isfinite(v).all())
+               for v in jax.tree.leaves(s8.params))
+
+
+def test_loader_process_sharding():
+    """Per-host strided shards partition the index set with equal lengths."""
+    from objectdetectionpl_tpu.data.pipeline import Loader
+    from objectdetectionpl_tpu.data.synthetic import SyntheticParser
+    p = SyntheticParser(13, img_hw=64)
+    shards = [Loader(p, img_size=64, batch_size=2, max_boxes=8, shuffle=True,
+                     seed=5, num_shards=4, shard_id=i) for i in range(4)]
+    assert all(len(s) == 1 for s in shards)      # 13 // 4 = 3 -> 1 batch of 2
+    seen = []
+    for s in shards:
+        order = s.indices.copy()
+        rng = np.random.RandomState(s.seed + 0)
+        rng.shuffle(order)
+        strided = order[s.shard_id::4][:3]
+        seen.extend(strided.tolist())
+        assert len(strided) == 3                 # equal lengths (lockstep)
+    assert len(set(seen)) == 12                  # disjoint coverage
+
+    b = next(iter(shards[0]))
+    assert b.images.shape == (2, 64, 64, 3)
+
+
+def test_maybe_initialize_noop_without_env(monkeypatch):
+    from objectdetectionpl_tpu.parallel import maybe_initialize
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "JAX_NUM_PROCESSES", "JAX_PROCESS_ID", "JAX_AUTO_DISTRIBUTED"):
+        monkeypatch.delenv(k, raising=False)
+    assert maybe_initialize() is False
