@@ -41,6 +41,30 @@ def test_pallas_interpret_matches_xla(rng):
                                rtol=1e-4, atol=1e-3)
 
 
+def test_blocked_matches_loop_merge(rng):
+    # dense overlaps (small coordinate range) to exercise suppression chains
+    boxes, scores, labels, obj = _candidates(rng, B=3, K=100, C=3)
+    boxes[..., [0, 2]] /= 4.0
+    boxes[..., [1, 3]] /= 4.0
+    K = boxes.shape[1]
+    for class_aware, merge in ((True, True), (False, False)):
+        xb, xk = jax.vmap(
+            lambda b, s, l, o: nms_lib._greedy_nms_single(
+                b, s, l, K, 0.4, lambda x, y: box_ops.iou_plus1(x, y),
+                class_aware=class_aware, merge=merge,
+                obj_conf=jnp.where(s > nms_lib.NEG_INF, o, 0.0)))(
+            *map(jnp.asarray, (boxes, scores, labels, obj)))
+        bb, bk = nms_lib.blocked_greedy_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+            jnp.where(jnp.asarray(scores) > nms_lib.NEG_INF,
+                      jnp.asarray(obj), 0.0),
+            nms_thresh=0.4, class_aware=class_aware, merge=merge, tile=32)
+        np.testing.assert_array_equal(np.asarray(bk), np.asarray(xk))
+        kk = np.asarray(xk)
+        np.testing.assert_allclose(np.asarray(bb)[kk], np.asarray(xb)[kk],
+                                   rtol=1e-4, atol=1e-3)
+
+
 def test_merge_combines_same_class_overlaps():
     C = 8
     p = np.zeros((1, 4, 5 + C), np.float32)
