@@ -143,16 +143,19 @@ def _ssr_params(u, cfg: AugmentConfig):
     return _rot_shift_scale_matrix(ang, scale, tx, ty), do
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def augment_batch(rng, images, boxes, mask, cfg: AugmentConfig = AugmentConfig()):
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def augment_batch(rng, images, boxes, mask, cfg: AugmentConfig = AugmentConfig(),
+                  use_pallas: bool | None = None):
     """Batched augmentation: images [B,S,S,3] in [0,1], boxes center-norm.
 
     All randomness is one batched uniform draw (per-image threefry chains
     cost ~80 ms/batch on TPU).  The bilinear warp is the expensive op
-    (gather-bound), so it runs on a fixed-size subset of ~2*p_ssr*B slots —
-    the images whose coin actually selected shift-scale-rotate — instead of
-    warping the whole batch through an identity matrix.  Box transforms are
-    cheap and run for every image.
+    (gather-bound under XLA: ~1e8 taps/s), so (a) it runs on a fixed-size
+    subset of ~2*p_ssr*B slots — the images whose coin actually selected
+    shift-scale-rotate — instead of warping the whole batch through an
+    identity matrix, and (b) on TPU it dispatches to the gather-free Pallas
+    two-pass kernel (ops/pallas/warp_kernel.py; ``use_pallas`` overrides the
+    backend autodetect).  Box transforms are cheap and run for every image.
     """
     B = images.shape[0]
     u = jax.random.uniform(rng, (B, 14))
@@ -174,7 +177,16 @@ def augment_batch(rng, images, boxes, mask, cfg: AugmentConfig = AugmentConfig()
     boxes, mask = jax.vmap(_transform_boxes)(boxes, mask, fwd)
 
     inv = jax.vmap(jnp.linalg.inv)(fwd[top])
-    warped = jax.vmap(_affine_warp)(images[top], inv)
+    if use_pallas is None:
+        from objectdetectionpl_tpu.ops.pallas.warp_kernel import \
+            pallas_warp_available
+        use_pallas = pallas_warp_available()
+    if use_pallas:
+        from objectdetectionpl_tpu.ops.pallas.warp_kernel import \
+            affine_warp_batch
+        warped = affine_warp_batch(images[top], inv)
+    else:
+        warped = jax.vmap(_affine_warp)(images[top], inv)
     use = applied[top][:, None, None, None]
     images = images.at[top].set(jnp.where(use, warped, images[top]))
     return images, boxes, mask

@@ -40,48 +40,69 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pass_kernel(params_ref, img_ref, out_ref, row_scratch):
-    """One shear/scale pass over one image's planes.
+def _pass_kernel(params_ref, img_ref, out_ref, inter, row_scratch):
+    """One shear/scale pass over one channel plane of one image.
 
-    params_ref: SMEM [4] float32 — (p, q, r, S) with resample index
-                p*x + q*y + r for output pixel (y, x).
-    img_ref/out_ref: VMEM [C, S, S] float32.
-    row_scratch: VMEM [C, 3*S] zero-padded row buffer.
+    params_ref: SMEM [K, 4] float32 (whole array, row = image program id) —
+                (p, q, r, S) with resample index p*x + q*y + r for output
+                pixel (y, x).
+    img_ref/out_ref: VMEM [1, S, S] float32 (grid is (K, C): one program per
+                channel plane, keeping the VMEM working set ~9 MB at S=640 —
+                whole [C, S, S] blocks overflow the 16 MB scoped limit once
+                the pipeline double-buffers them).
+    inter: VMEM [1, TR, D] row-block intermediate on the *extended* domain
+           u in [0, D): inter[0, t, u] = img[y, u + off_y] (zeros outside).
+           D >= ~1.6*S so the shared matrix position p*x stays inside the
+           window for any per-row offset — sampling the shifted row on the
+           un-extended [0, S) window silently zero-clips sources that are in
+           range whenever p*x leaves [0, S-1] (p up to 1.1/cos45 = 1.556).
+    row_scratch: VMEM [1, ~(2*S + D)] zero-padded row buffer.
     """
-    C, S = img_ref.shape[0], img_ref.shape[1]
-    p = params_ref[0]
-    q = params_ref[1]
-    r = params_ref[2]
+    S = img_ref.shape[1]
+    TR, D = inter.shape[1], inter.shape[2]
+    i = pl.program_id(0)
+    p = params_ref[i, 0]
+    q = params_ref[i, 1]
+    r = params_ref[i, 2]
 
-    # Shared scale matrix W[x_out, x_in] = tri(p * x_out - x_in), two-hot
-    # bilinear weights; rows whose source leaves [0, S) are all-zero, giving
-    # constant (0) padding for free.
-    xo = jax.lax.broadcasted_iota(jnp.float32, (S, S), 0)
-    xi = jax.lax.broadcasted_iota(jnp.float32, (S, S), 1)
+    # Shared scale matrix W[x_out, u] = tri(p * x_out - u) over the extended
+    # domain, two-hot bilinear weights (the per-row shift already folded the
+    # offset into u).
+    xo = jax.lax.broadcasted_iota(jnp.int32, (S, D), 0).astype(jnp.float32)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (S, D), 1).astype(jnp.float32)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(p * xo - xi))
 
-    # Row scratch: [C, 3S], input row written at offset S each iteration;
-    # the flanks stay zero (constant padding for the shift).
+    # Row scratch: input row written at offset S each iteration; the flanks
+    # stay zero (constant padding for the shift).
     row_scratch[:, :] = jnp.zeros_like(row_scratch)
 
-    def body(y, _):
-        # offset for this output row: k + phi
-        off = q * y.astype(jnp.float32) + r
-        k = jnp.floor(off)
-        phi = off - k
-        ki = jnp.clip(k.astype(jnp.int32), -S, S - 1)
-        row_scratch[:, pl.ds(S, S)] = img_ref[:, y, :]
-        t0 = row_scratch[:, pl.ds(S + ki, S)]          # row[x + k]
-        t1 = row_scratch[:, pl.ds(S + ki + 1, S)]      # row[x + k + 1]
-        out_ref[:, y, :] = t0 * (1.0 - phi) + t1 * phi
-        return 0
+    for blk in range(-(-S // TR)):          # static row blocks
+        rows = min(TR, S - blk * TR)
 
-    jax.lax.fori_loop(0, S, body, 0)
+        def body(t, _):
+            y = blk * TR + t
+            # offset for this output row: k + phi
+            off = q * y.astype(jnp.float32) + r
+            k = jnp.floor(off)
+            phi = off - k
+            ki = jnp.clip(k.astype(jnp.int32), -S, S - 1)
+            row_scratch[:, S:2 * S] = img_ref[:, y, :]
+            # Dynamic-start lane slices must be 128-aligned on TPU; a lane
+            # *rotate* by a dynamic amount is supported (tpu.dynamic_rotate),
+            # so realize row[u + k] as roll(buf, -(S+k))[u] — the buffer is
+            # long enough (L >= 2S + D) that the window never wraps into
+            # image content, only into zero flanks.
+            buf = row_scratch[:, :]
+            t0 = pltpu.roll(buf, -(S + ki), axis=1)[:, :D]       # row[u+k]
+            t1 = pltpu.roll(buf, -(S + ki + 1), axis=1)[:, :D]   # row[u+k+1]
+            inter[:, t, :] = t0 * (1.0 - phi) + t1 * phi
+            return 0
 
-    # Scale pass on the MXU: out[c, y, :] = shifted[c, y, :] @ W^T.
-    for c in range(C):
-        out_ref[c, :, :] = jax.lax.dot_general(
-            out_ref[c, :, :], w,
+        jax.lax.fori_loop(0, rows, body, 0)
+
+        # Scale on the MXU: out[y, :] = inter[0, t, :] @ W^T.
+        out_ref[0, blk * TR:blk * TR + rows, :] = jax.lax.dot_general(
+            inter[0, :rows, :], w,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -89,18 +110,24 @@ def _pass_kernel(params_ref, img_ref, out_ref, row_scratch):
 def _warp_pass(planes, params, interpret: bool):
     """planes [K, C, S, S]; params [K, 4] (p, q, r, S)."""
     K, C, S = planes.shape[0], planes.shape[1], planes.shape[2]
+    # Extended intermediate domain: covers matrix positions p*x for p up to
+    # ~1.6 (SSR max p = 1.1/cos45 = 1.556), lane-aligned.
+    D = -(-int(1.6 * S) // 128) * 128
+    TR = min(128, S)
     return pl.pallas_call(
         _pass_kernel,
-        grid=(K,),
+        grid=(K, C),
         in_specs=[
-            pl.BlockSpec((4,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C, S, S), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # whole [K, 4] params
+            pl.BlockSpec((None, 1, S, S), lambda i, c: (i, c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, C, S, S), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((None, 1, S, S), lambda i, c: (i, c, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K, C, S, S), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((C, 3 * S), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, TR, D), jnp.float32),
+                        pltpu.VMEM((1, -(-(2 * S + D) // 128) * 128),
+                                   jnp.float32)],
         interpret=interpret,
     )(params, planes)
 
@@ -117,14 +144,18 @@ def _pass_params(inv_px):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def affine_warp_batch(images, inv_norm, interpret: bool = False):
+def affine_warp_batch(images, inv_norm, interpret: bool | None = None):
     """Batched inverse affine warp, Pallas two-pass.
 
     images: [K, S, S, C] float32 in [0, 1].
     inv_norm: [K, 3, 3] output->input affine in *normalized* [0,1] coords
               (the frame data/augment.py builds).
+    interpret: None -> compiled on TPU, interpret elsewhere (the compiled
+               kernel only exists for the TPU backend).
     Returns warped [K, S, S, C]; outside pixels are 0.
     """
+    if interpret is None:
+        interpret = not pallas_warp_available()
     K, S = images.shape[0], images.shape[1]
     # normalized -> pixel frame (pixel-center convention, see _affine_warp)
     # x_n = (x_p + 0.5)/S  =>  M_px = D @ M_n @ D^-1 with the 0.5 folded in.
