@@ -14,6 +14,7 @@ stand-in until the reference harness is measured — the driver-set target is
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -34,8 +35,8 @@ except Exception:
 A100_PT_BASELINE_IPS = 250.0
 BATCH = 384
 IMG = 640
-WARMUP = 3
-ITERS = 10
+WARMUP = 2
+ITERS = 20
 
 
 def main():
@@ -50,7 +51,6 @@ def main():
     x0 = jnp.zeros((BATCH, IMG, IMG, 3), jnp.bfloat16)
     variables = model.init(rng, x0, train=False)
 
-    @jax.jit
     def end_to_end(raw_uint8):
         # preproc: normalize uint8 -> [0,1] bf16 (device-side)
         images = raw_uint8.astype(jnp.bfloat16) / 255.0
@@ -60,19 +60,33 @@ def main():
             num_classes)
         return nms.yolo_nms(preds, conf_thres=0.5, nms_thres=0.4, top_k=300)
 
+    # Measurement methodology: through the remote-device tunnel,
+    # (a) block_until_ready is NOT a reliable execution barrier, and
+    # (b) every dispatch+fetch round trip costs ~30 ms of host latency that a
+    #     production TPU host does not pay.  So the ITERS iterations run
+    #     inside ONE jitted fori_loop: each iteration's input is perturbed by
+    #     the carried checksum (data dependence -> XLA cannot hoist the
+    #     loop-invariant body or overlap iterations), and a single scalar
+    #     fetch of the carry forces the whole chain.
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def bench_loop(raw_uint8, iters):
+        def body(_, acc):
+            r = raw_uint8 + (acc % 2).astype(raw_uint8.dtype)
+            res = end_to_end(r)
+            return acc + res.valid.sum().astype(jnp.int32)
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
     host = np.random.RandomState(0).randint(
         0, 255, (BATCH, IMG, IMG, 3)).astype(np.uint8)
     batch = jax.device_put(host)
 
-    # NOTE: fetch a scalar per iteration — through the remote-device tunnel,
-    # block_until_ready alone is not a reliable execution barrier.
-    for _ in range(WARMUP):
-        float(end_to_end(batch).valid.sum())
+    for _ in range(WARMUP):   # same static iters -> warms the timed program
+        float(bench_loop(batch, ITERS))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        float(end_to_end(batch).valid.sum())
+    checksum = float(bench_loop(batch, ITERS))
     dt = time.perf_counter() - t0
+    assert checksum >= 0.0
 
     ips = BATCH * ITERS / dt
     print(json.dumps({

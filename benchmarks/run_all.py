@@ -34,6 +34,8 @@ CONFIGS = [
 
 
 def bench_one(model_name, variant, img, batch, classes, iters=10, warmup=2):
+    import functools
+
     from objectdetectionpl_tpu.models import build_model
     from objectdetectionpl_tpu.train.step import make_postprocess
 
@@ -43,22 +45,29 @@ def bench_one(model_name, variant, img, batch, classes, iters=10, warmup=2):
     x0 = jnp.zeros((batch, img, img, 3), jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), x0, train=False)
 
-    @jax.jit
     def e2e(raw):
         images = raw.astype(jnp.bfloat16) / 255.0
         return post(model.apply(variables, images, train=False))
 
+    # Same methodology as bench.py: through the remote-device tunnel,
+    # block_until_ready is NOT a reliable barrier and every dispatch+fetch
+    # round trip costs ~30 ms of host latency production hosts don't pay, so
+    # the iterations run chained inside one jitted fori_loop (the carried
+    # checksum perturbs each iteration's input -> no hoisting) and one scalar
+    # fetch forces the chain.
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(raw, n):
+        def body(_, acc):
+            r = raw + (acc % 2).astype(raw.dtype)
+            return acc + e2e(r).valid.sum().astype(jnp.int32)
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
     raw = jax.device_put(np.random.randint(
         0, 255, (batch, img, img, 3)).astype(np.uint8))
-    # NOTE: through the remote-device tunnel jax.block_until_ready is NOT a
-    # reliable execution barrier (CLAUDE.md); force a device->host scalar
-    # fetch per iteration, same as bench.py.
-    fetch = lambda r: float(r.valid.sum())
     for _ in range(warmup):
-        fetch(e2e(raw))
+        float(loop(raw, iters))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        fetch(e2e(raw))
+    float(loop(raw, iters))
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

@@ -228,6 +228,10 @@ def yolov5_loss(outputs: Sequence[jax.Array], labels, boxes, mask,
         valid = t.valid.astype(jnp.float32)
         cnt = jnp.maximum(jnp.sum(valid), 1.0)
 
+        # Plain 4-D index gather.  (A sorted-segment-sum custom VJP for the
+        # duplicate-index scatter-add backward was measured SLOWER on the
+        # v5e — 128.6 vs 114.4 ms/train-step at B=64 — XLA's native
+        # scatter-add handles this size fine; don't re-attempt.)
         ps = pi[t.b, t.a, t.gj, t.gi]                       # [K, 5+C]
         pxy = jax.nn.sigmoid(ps[:, :2]) * 2.0 - 0.5
         pwh = (jax.nn.sigmoid(ps[:, 2:4]) * 2.0) ** 2 * t.anch
@@ -239,7 +243,7 @@ def yolov5_loss(outputs: Sequence[jax.Array], labels, boxes, mask,
         # Duplicate-cell writes keep the max (torch keeps an arbitrary last
         # write; max is the deterministic rationalization).
         tobj = jnp.zeros(pi.shape[:4], pi.dtype)
-        giou_t = jnp.clip(jax.lax.stop_gradient(giou), 0.0)
+        giou_t = jnp.clip(jax.lax.stop_gradient(giou), 0.0).astype(pi.dtype)
         b = jnp.where(t.valid, t.b, pi.shape[0])  # OOB image idx -> dropped
         tobj = tobj.at[b, t.a, t.gj, t.gi].max(giou_t, mode="drop")
         lobj += jnp.mean(crit(pi[..., 4], tobj))
