@@ -99,7 +99,10 @@ def main():
                        "RESULTS.md")
     with open(out, "w") as f:
         f.write("# End-to-end inference throughput (preproc+forward+decode"
-                "+NMS)\n\nbfloat16, one chip, fixed-shape batched NMS.\n\n"
+                "+NMS)\n\nbfloat16, one chip, fixed-shape batched NMS.\n"
+                "Methodology: 10 iterations chained inside one jitted "
+                "fori_loop\n(checksum-perturbed input, single scalar fetch) "
+                "— see CLAUDE.md.\n\n"
                 "| model | img | batch | images/sec/chip |\n|---|---|---|---|\n")
         for name, img, batch, ips in rows:
             f.write(f"| {name} | {img} | {batch} | {ips} |\n")
