@@ -74,15 +74,20 @@ def main(argv=None):
         if cfg.auto_scale_batch_size == "power":
             bs = tune.auto_scale_batch_size(trainer, start=cfg.batch_size)
             print(f"[tune] auto_scale_batch_size suggests batch_size={bs}")
-    if cfg.max_epochs > 0:
-        trainer.fit()
-    else:
-        trainer.maybe_restore()       # eval-only: max_epochs 0 + checkpoint
-    if cfg.test:
-        trainer.dm.setup("test")
-        results = trainer.test()
-        return results
-    return None
+    try:
+        if cfg.max_epochs > 0:
+            trainer.fit()
+        else:
+            trainer.maybe_restore()   # eval-only: max_epochs 0 + checkpoint
+        if cfg.test:
+            trainer.dm.setup("test")
+            return trainer.test()
+        return None
+    finally:
+        # drain in-flight async checkpoint saves — letting the interpreter
+        # shut down with a pending orbax write crashes its executor
+        # ("cannot schedule new futures after interpreter shutdown")
+        trainer.ckpt.close()
 
 
 if __name__ == "__main__":

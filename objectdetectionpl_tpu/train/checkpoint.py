@@ -65,6 +65,10 @@ class CheckpointManager:
                 return f.read().strip()
         return None
 
+    def wait(self):
+        """Block until any in-flight async save has committed to disk."""
+        self._mgr.wait_until_finished()
+
     def close(self):
         self._mgr.wait_until_finished()
         self._mgr.close()

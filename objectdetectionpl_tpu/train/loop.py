@@ -250,6 +250,10 @@ class Trainer:
                     print(f"[trainer] early stopping at epoch {epoch}")
                     break
             self.writer.flush()
+        # drain in-flight async checkpoint saves: callers (and the test
+        # phase) must not race the serializer, and a save still pending at
+        # interpreter shutdown crashes orbax's executor
+        self.ckpt.wait()
         return self.state
 
     def _log_train_step(self, metrics, cfg, profiling: bool):
