@@ -33,7 +33,8 @@ except Exception:
     pass
 
 A100_PT_BASELINE_IPS = 250.0
-BATCH = 384
+BATCH = 256     # sweep 256/384/512/768 -> 3974/3827/3829/3821 img/s: the
+                # [B, K, K] NMS mask growth beats the batching gain past 256
 IMG = 640
 WARMUP = 2
 ITERS = 20
