@@ -41,7 +41,9 @@ def bench_one(model_name, variant, img, batch, classes, iters=10, warmup=2):
 
     model = build_model(model_name, classes, dtype=jnp.bfloat16,
                         yolov5_type=variant or "Yolov5s")
-    post = make_postprocess(model_name, classes, img)
+    # exact_topk=None: benchmark the TPU approx_max_k path (bench.py's
+    # configuration); eval/mAP paths default to exact selection
+    post = make_postprocess(model_name, classes, img, exact_topk=None)
     x0 = jnp.zeros((batch, img, img, 3), jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), x0, train=False)
 

@@ -177,14 +177,33 @@ def augment_batch(rng, images, boxes, mask, cfg: AugmentConfig = AugmentConfig()
     boxes, mask = jax.vmap(_transform_boxes)(boxes, mask, fwd)
 
     inv = jax.vmap(jnp.linalg.inv)(fwd[top])
+    # Pallas two-pass kernel validity: the x-pass scale is
+    # p1 = 1 / (scale * cos(rot)) and the row-shift factor is q1 = tan(rot);
+    # the kernel's roll-based shift requires |q1| <= 1 (rot <= 45 deg) and
+    # its extended domain must cover p1 (sized from the cfg bound below).
+    # Outside that validated range, fall back to the XLA gather warp.
+    import math
+    theta = math.radians(min(abs(cfg.rotate_limit), 89.0))
+    p_max = 1.0 / max((1.0 - abs(cfg.scale_limit)) * math.cos(theta), 1e-6)
+    pallas_ok = (abs(cfg.rotate_limit) <= 45.0 + 1e-6
+                 and abs(cfg.scale_limit) < 0.5
+                 and abs(cfg.shift_limit) <= 0.5 and p_max <= 3.0)
     if use_pallas is None:
         from objectdetectionpl_tpu.ops.pallas.warp_kernel import \
             pallas_warp_available
-        use_pallas = pallas_warp_available()
+        use_pallas = pallas_warp_available() and pallas_ok
+    elif use_pallas and not pallas_ok:
+        import warnings
+        warnings.warn(
+            f"AugmentConfig SSR bounds (rotate {cfg.rotate_limit}, scale "
+            f"{cfg.scale_limit}, shift {cfg.shift_limit}) exceed the Pallas "
+            f"warp kernel's validated range; using the XLA warp instead")
+        use_pallas = False
     if use_pallas:
         from objectdetectionpl_tpu.ops.pallas.warp_kernel import \
             affine_warp_batch
-        warped = affine_warp_batch(images[top], inv)
+        warped = affine_warp_batch(images[top], inv,
+                                   dom_mult=max(1.6, 1.15 * p_max))
     else:
         warped = jax.vmap(_affine_warp)(images[top], inv)
     use = applied[top][:, None, None, None]

@@ -52,10 +52,12 @@ def _pass_kernel(params_ref, img_ref, out_ref, inter, row_scratch):
                 the pipeline double-buffers them).
     inter: VMEM [1, TR, D] row-block intermediate on the *extended* domain
            u in [0, D): inter[0, t, u] = img[y, u + off_y] (zeros outside).
-           D >= ~1.6*S so the shared matrix position p*x stays inside the
-           window for any per-row offset — sampling the shifted row on the
-           un-extended [0, S) window silently zero-clips sources that are in
-           range whenever p*x leaves [0, S-1] (p up to 1.1/cos45 = 1.556).
+           D >= max|p| * S so the shared matrix position p*x stays inside
+           the window for any per-row offset — sampling the shifted row on
+           the un-extended [0, S) window silently zero-clips sources that
+           are in range whenever p*x leaves [0, S-1].  Max |p| for SSR is
+           1/((1-scale_limit)*cos(rotate_limit)) = 1.571 at the defaults
+           (0.1 / 45 deg); the caller sizes D from its own bounds.
     row_scratch: VMEM [1, ~(2*S + D)] zero-padded row buffer.
     """
     S = img_ref.shape[1]
@@ -107,12 +109,17 @@ def _pass_kernel(params_ref, img_ref, out_ref, inter, row_scratch):
             preferred_element_type=jnp.float32)
 
 
-def _warp_pass(planes, params, interpret: bool):
-    """planes [K, C, S, S]; params [K, 4] (p, q, r, S)."""
+def _warp_pass(planes, params, interpret: bool, dom_mult: float = 1.7):
+    """planes [K, C, S, S]; params [K, 4] (p, q, r, S).
+
+    ``dom_mult``: extended-domain size factor — must cover the matrix
+    positions p*x for x in [0, S), i.e. dom_mult >= max |p|.  For SSR the
+    x-pass scale is p1 = 1 / (scale * cos(rot)) with scale >= 1 -
+    scale_limit, so the caller derives dom_mult from its AugmentConfig
+    bounds (augment_batch falls back to the XLA warp outside the kernel's
+    validated range rot <= 45 deg / |p| <= 3)."""
     K, C, S = planes.shape[0], planes.shape[1], planes.shape[2]
-    # Extended intermediate domain: covers matrix positions p*x for p up to
-    # ~1.6 (SSR max p = 1.1/cos45 = 1.556), lane-aligned.
-    D = -(-int(1.6 * S) // 128) * 128
+    D = -(-int(dom_mult * S) // 128) * 128
     TR = min(128, S)
     return pl.pallas_call(
         _pass_kernel,
@@ -143,8 +150,9 @@ def _pass_params(inv_px):
     return (p1, q1, r1), (d, c, ty)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def affine_warp_batch(images, inv_norm, interpret: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("interpret", "dom_mult"))
+def affine_warp_batch(images, inv_norm, interpret: bool | None = None,
+                      dom_mult: float = 1.7):
     """Batched inverse affine warp, Pallas two-pass.
 
     images: [K, S, S, C] float32 in [0, 1].
@@ -152,6 +160,8 @@ def affine_warp_batch(images, inv_norm, interpret: bool | None = None):
               (the frame data/augment.py builds).
     interpret: None -> compiled on TPU, interpret elsewhere (the compiled
                kernel only exists for the TPU backend).
+    dom_mult: extended-domain factor, must be >= the max per-pass scale |p|
+              (augment_batch derives it from its AugmentConfig bounds).
     Returns warped [K, S, S, C]; outside pixels are 0.
     """
     if interpret is None:
@@ -173,9 +183,9 @@ def affine_warp_batch(images, inv_norm, interpret: bool | None = None):
     params2 = jnp.stack([p2, q2, r2, jnp.full_like(p2, S)], axis=-1)
 
     planes = jnp.transpose(images, (0, 3, 1, 2)).astype(jnp.float32)
-    h = _warp_pass(planes, params1, interpret)             # x-pass
+    h = _warp_pass(planes, params1, interpret, dom_mult)   # x-pass
     h = jnp.transpose(h, (0, 1, 3, 2))                     # swap x<->y
-    o = _warp_pass(h, params2, interpret)                  # y-pass
+    o = _warp_pass(h, params2, interpret, dom_mult)        # y-pass
     o = jnp.transpose(o, (0, 1, 3, 2))
     return jnp.transpose(o, (0, 2, 3, 1))
 

@@ -127,6 +127,10 @@ class Trainer:
 
     def _device_batch(self, batch, augment: bool):
         images = jnp.asarray(batch.images)
+        if images.dtype == jnp.uint8:
+            # packed-cache batches ship uint8 (4x less host->device traffic);
+            # normalize on device
+            images = images.astype(jnp.float32) / 255.0
         boxes = jnp.asarray(batch.boxes)
         labels = jnp.asarray(batch.labels)
         mask = jnp.asarray(batch.mask)
@@ -289,13 +293,16 @@ class Trainer:
             self.writer.image(f"view_mark/{i}", panel, epoch)
 
     def validate(self, epoch: int) -> Optional[float]:
-        losses: List[Dict[str, float]] = []
+        # keep per-batch metrics as device arrays (dispatch stays async) and
+        # pull everything to host once at the end — each per-batch float()
+        # would pay the ~30 ms tunnel round trip documented in BASELINE.md
+        losses: List[Dict] = []
         for batch in self.dm.val_dataloader():
             args = self._device_batch(batch, augment=False)
-            m = self.eval_step(self.state, *args)
-            losses.append({k: float(v) for k, v in m.items()})
+            losses.append(self.eval_step(self.state, *args))
         if not losses:
             return None
+        losses = jax.device_get(losses)
         means = {k: float(np.mean([m[k] for m in losses])) for k in losses[0]}
         self.writer.scalar("val_loss", means["loss"], epoch)
         self.writer.scalars("Epoch", {f"{k}/Val": v for k, v in means.items()},
@@ -324,8 +331,11 @@ class Trainer:
 
         @jax.jit
         def stat_fn(state, images, labels, boxes, mask):
+            # eval_params (EMA when enabled) — must match predict_step so both
+            # test-metric branches report on the same weights
             out = self.model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
+                {"params": state.eval_params,
+                 "batch_stats": state.batch_stats},
                 images, train=False)
             return yolo_stats.yolo_statistics(out, labels, boxes, mask,
                                               per_scale, self.num_classes)
@@ -341,18 +351,21 @@ class Trainer:
         for bi, batch in enumerate(self.dm.test_dataloader()):
             images, labels, boxes, mask = self._device_batch(batch, False)
             res = self.predict_step(self.state, images)
-            if yolo_stat_fn is not None:
-                yolo_stats_acc.append(jax.tree.map(
-                    float, yolo_stat_fn(self.state, images, labels, boxes,
-                                        mask)))
-
-            gt_xyxy = np.asarray(box_ops.xywh_to_xyxy(boxes)) * self.img_size
+            ys = (None if yolo_stat_fn is None
+                  else yolo_stat_fn(self.state, images, labels, boxes, mask))
+            # one host fetch per batch for everything the numpy mAP path
+            # needs (each separate np.asarray would pay its own ~30 ms
+            # tunnel round trip)
+            res, ys, gt_xyxy, labels, mask = jax.device_get(
+                (res, ys, box_ops.xywh_to_xyxy(boxes) * self.img_size,
+                 labels, mask))
+            if ys is not None:
+                yolo_stats_acc.append(ys)
             s = metric_lib.batch_statistics(
-                np.asarray(res.boxes), np.asarray(res.scores),
-                np.asarray(res.labels), np.asarray(res.valid),
-                gt_xyxy, np.asarray(labels), np.asarray(mask))
+                res.boxes, res.scores, res.labels, res.valid,
+                gt_xyxy, labels, mask)
             stats.append(s)
-            target_classes.extend(np.asarray(labels)[np.asarray(mask)].tolist())
+            target_classes.extend(labels[mask].tolist())
 
             if panels < 4:          # first images panel (step.py:152-158)
                 img = np.asarray(images[0])

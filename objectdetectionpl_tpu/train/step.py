@@ -118,11 +118,16 @@ def make_predict_step(model, postprocess: Callable) -> Callable:
 
 def make_postprocess(model_name: str, num_classes: int, img_size: int,
                      conf_thres: float = 0.5, nms_thres: float = 0.4,
-                     top_k: int = 300) -> Callable:
+                     top_k: int = 300, exact_topk: bool = True) -> Callable:
     """Model-family-specific decode + NMS, emitting pixel-space boxes.
 
     SSD/RetinaNet: anchor decode + greedy NMS (model/SSD.py:249-310).
     YOLO: family decode + weighted-merge NMS (model/YOLOV5.py:157-218).
+
+    ``exact_topk=True`` (default) uses exact ``lax.top_k`` candidate
+    selection so eval/mAP results cannot diverge from the CPU parity tests;
+    benchmarks pass ``exact_topk=None`` to get the faster TPU
+    ``approx_max_k`` path (recall ~0.95 on the score tail).
     """
     from objectdetectionpl_tpu.ops import anchors as anchor_lib
     from objectdetectionpl_tpu.ops import boxes as box_ops
@@ -136,7 +141,8 @@ def make_postprocess(model_name: str, num_classes: int, img_size: int,
             # drop the explicit background channel for scoring
             return nms.anchor_nms(loc, cls[..., 1:], dboxes,
                                   nms_thresh=0.5, class_thresh=0.45,
-                                  scale=float(img_size))
+                                  scale=float(img_size),
+                                  exact_topk=exact_topk)
         return post
 
     if model_name == "RetinaNet":
@@ -147,7 +153,7 @@ def make_postprocess(model_name: str, num_classes: int, img_size: int,
             return nms.anchor_nms(loc, cls, anchors,
                                   decode=box_ops.retina_decode,
                                   nms_thresh=0.5, class_thresh=0.45,
-                                  scale=1.0)
+                                  scale=1.0, exact_topk=exact_topk)
         return post
 
     if model_name == "YOLOv5":
@@ -155,7 +161,8 @@ def make_postprocess(model_name: str, num_classes: int, img_size: int,
             preds = nms.decode_yolov5_predictions(
                 outputs, anchor_lib.YOLOV5_ANCHORS, anchor_lib.YOLOV5_STRIDES,
                 num_classes)
-            return nms.yolo_nms(preds, conf_thres, nms_thres, top_k)
+            return nms.yolo_nms(preds, conf_thres, nms_thres, top_k,
+                                exact_topk=exact_topk)
         return post
 
     table = {
@@ -174,5 +181,6 @@ def make_postprocess(model_name: str, num_classes: int, img_size: int,
             outputs = [outputs]
         preds = nms.decode_yolo_predictions(outputs, anchors_px, strides,
                                             num_classes, img_size)
-        return nms.yolo_nms(preds, conf_thres, nms_thres, top_k)
+        return nms.yolo_nms(preds, conf_thres, nms_thres, top_k,
+                            exact_topk=exact_topk)
     return post

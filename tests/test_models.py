@@ -107,3 +107,50 @@ def test_yolov2_train_step_decreases_loss(rng):
         losses_seen.append(float(loss))
     assert losses_seen[-1] < losses_seen[0]
     assert all(np.isfinite(l) for l in losses_seen)
+
+
+def test_batchnorm_bf16_moments_match_flax(rng):
+    """ADVICE r2: our BatchNorm squares x in the compute dtype (bf16) before
+    the f32-accumulated sum and uses E[x^2]-E[x]^2, vs flax's all-f32
+    pipeline.  Bound the train-mode moment/output error at bf16 with
+    decidedly non-zero-mean inputs (mean +-2, the worst realistic post-conv
+    drift): batch stats within 1e-2 relative, normalized output within the
+    bf16 quantum (~8e-3 for |y|<=2)."""
+    from flax import linen as nn
+    from objectdetectionpl_tpu.nn.blocks import BatchNorm
+
+    x32 = jnp.asarray(rng.randn(8, 16, 16, 24) * 1.5
+                      + rng.uniform(-2, 2, (1, 1, 1, 24)), jnp.float32)
+    x16 = x32.astype(jnp.bfloat16)
+
+    ours = BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5,
+                     dtype=jnp.bfloat16)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5,
+                       dtype=jnp.bfloat16)
+
+    vo = ours.init(jax.random.PRNGKey(0), x16)
+    vr = ref.init(jax.random.PRNGKey(0), x16)
+    yo, so = ours.apply(vo, x16, mutable=["batch_stats"])
+    yr, sr = ref.apply(vr, x16, mutable=["batch_stats"])
+
+    mo, varo = so["batch_stats"]["mean"], so["batch_stats"]["var"]
+    mr, varr = sr["batch_stats"]["mean"], sr["batch_stats"]["var"]
+    # f32 ground truth BATCH moments of the bf16 tensor, pushed through the
+    # running update (init mean 0 / var 1, momentum 0.9)
+    xt = x16.astype(jnp.float32)
+    m_true = 0.1 * xt.mean(axis=(0, 1, 2))
+    v_true = 0.9 + 0.1 * ((xt - xt.mean(axis=(0, 1, 2))) ** 2).mean(
+        axis=(0, 1, 2))
+
+    np.testing.assert_allclose(np.asarray(mo), np.asarray(m_true),
+                               rtol=1e-4, atol=1e-5)
+    # E[x^2]-E[x]^2 cancellation at mean +-2, var ~2: benign at f32 accum
+    np.testing.assert_allclose(np.asarray(varo), np.asarray(v_true),
+                               rtol=1e-2, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(varo), np.asarray(varr),
+                               rtol=1e-2, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mo), np.asarray(mr),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(yo, np.float32), np.asarray(yr, np.float32),
+        atol=3.3e-2)   # 1 bf16 ulp at the |y| ~ 4 tail of the normalized out
