@@ -229,6 +229,257 @@ def load_reference_yolov2(params, batch_stats, state_dict):
     return _unflat(fp), _unflat(fb), n
 
 
+def _convbn_putter(fp, fb, state_dict, conv_suffix: str, bn_suffix: str):
+    """Shared ConvBN transplant closure: torch ``<tk><conv_suffix>.weight`` +
+    BN at ``<tk><bn_suffix>.*`` into our ``<base>/Conv_0`` + ``BatchNorm_0``.
+    Returns (put, count) where count() reads the running tally."""
+    n = [0]
+
+    def put(tk: str, base: str, bias: bool = False):
+        w = np.asarray(state_dict[f"{tk}{conv_suffix}.weight"])
+        kw = f"{base}/Conv_0/kernel"
+        assert fp[kw].shape == conv_to_flax(w).shape, (kw, fp[kw].shape,
+                                                       w.shape)
+        fp[kw] = conv_to_flax(w)
+        if bias:
+            fp[f"{base}/Conv_0/bias"] = np.asarray(
+                state_dict[f"{tk}{conv_suffix}.bias"])
+        bnk = f"{tk}{bn_suffix}"
+        if f"{bnk}.weight" in state_dict:
+            fp[f"{base}/BatchNorm_0/scale"] = np.asarray(
+                state_dict[f"{bnk}.weight"])
+            fp[f"{base}/BatchNorm_0/bias"] = np.asarray(
+                state_dict[f"{bnk}.bias"])
+            fb[f"{base}/BatchNorm_0/mean"] = np.asarray(
+                state_dict[f"{bnk}.running_mean"])
+            fb[f"{base}/BatchNorm_0/var"] = np.asarray(
+                state_dict[f"{bnk}.running_var"])
+        n[0] += 1
+
+    return put, lambda: n[0]
+
+
+def _put_plain_conv(fp, state_dict, tk: str, fk: str):
+    """torch plain nn.Conv2d (weight + optional bias) -> flax ``<fk>``."""
+    w = np.asarray(state_dict[f"{tk}.weight"])
+    kw = f"{fk}/kernel"
+    assert fp[kw].shape == conv_to_flax(w).shape, (kw, fp[kw].shape, w.shape)
+    fp[kw] = conv_to_flax(w)
+    if f"{tk}.bias" in state_dict:
+        fp[f"{fk}/bias"] = np.asarray(state_dict[f"{tk}.bias"])
+
+
+def load_reference_yolov5(params, batch_stats, state_dict,
+                          prefix: str = "backbone_head."):
+    """Transplant a complete reference-YOLOv5 state_dict
+    (model/YOLOV5.py:20-102, backbone_head seq0-seq21) into our flax YOLOv5.
+
+    The only non-identity remap is the Focus stem: the reference slices
+    (even,even),(odd,even),(even,odd),(odd,odd) pixel phases into channel
+    blocks (YoloV5Utils.py:120-125) while our ``space_to_depth`` emits
+    (even,even),(even,odd),(odd,even),(odd,odd), so the stem conv's input
+    channels are permuted blockwise ([0,2,1,3]) to compensate.
+
+    Returns (params, batch_stats, n_loaded).
+    """
+    fp, fb = _flat(params), _flat(batch_stats)
+    sd = {k[len(prefix):] if k.startswith(prefix) else k: v
+          for k, v in state_dict.items()}
+    put, count = _convbn_putter(fp, fb, sd, ".conv", ".bn")
+
+    def put_csp(tk: str, base: str):
+        # BottleneckCSP (YoloV5Utils.py:71-94): cv1/m/cv3/cv2/bn/cv4 ->
+        # ConvBN_0 / BottleneckV5_i / Conv_0 / Conv_1 / BatchNorm_0 / ConvBN_1
+        put(f"{tk}.cv1", f"{base}/ConvBN_0")
+        i = 0
+        while f"{tk}.m.{i}.cv1.conv.weight" in sd:
+            put(f"{tk}.m.{i}.cv1", f"{base}/BottleneckV5_{i}/ConvBN_0")
+            put(f"{tk}.m.{i}.cv2", f"{base}/BottleneckV5_{i}/ConvBN_1")
+            i += 1
+        _put_plain_conv(fp, sd, f"{tk}.cv3", f"{base}/Conv_0")
+        _put_plain_conv(fp, sd, f"{tk}.cv2", f"{base}/Conv_1")
+        fp[f"{base}/BatchNorm_0/scale"] = np.asarray(sd[f"{tk}.bn.weight"])
+        fp[f"{base}/BatchNorm_0/bias"] = np.asarray(sd[f"{tk}.bn.bias"])
+        fb[f"{base}/BatchNorm_0/mean"] = np.asarray(
+            sd[f"{tk}.bn.running_mean"])
+        fb[f"{base}/BatchNorm_0/var"] = np.asarray(
+            sd[f"{tk}.bn.running_var"])
+        put(f"{tk}.cv4", f"{base}/ConvBN_1")
+
+    # Focus stem with the phase-block input permutation
+    put("seq0_Focus.conv", "Focus_0/ConvBN_0")
+    k = fp["Focus_0/ConvBN_0/Conv_0/kernel"]
+    C = k.shape[2] // 4
+    order = np.concatenate([np.arange(t * C, (t + 1) * C)
+                            for t in (0, 2, 1, 3)])
+    fp["Focus_0/ConvBN_0/Conv_0/kernel"] = k[:, :, order, :]
+
+    put("seq1_Conv", "ConvBN_0")
+    put("seq2_Bottleneck.cv1", "BottleneckV5_0/ConvBN_0")
+    put("seq2_Bottleneck.cv2", "BottleneckV5_0/ConvBN_1")
+    put("seq3_Conv", "ConvBN_1")
+    put_csp("seq4_BottleneckCSP", "BottleneckCSP_0")
+    put("seq5_Conv", "ConvBN_2")
+    put_csp("seq6_BottleneckCSP", "BottleneckCSP_1")
+    put("seq7_Conv", "ConvBN_3")
+    put("seq8_SPP.cv1", "SPP_0/ConvBN_0")
+    put("seq8_SPP.cv2", "SPP_0/ConvBN_1")
+    put_csp("seq9_BottleneckCSP", "BottleneckCSP_2")
+    put_csp("seq10_BottleneckCSP", "BottleneckCSP_3")
+    _put_plain_conv(fp, sd, "seq11_Conv2d", "Conv_0")
+    put("seq14_Conv", "ConvBN_4")
+    put_csp("seq15_BottleneckCSP", "BottleneckCSP_4")
+    _put_plain_conv(fp, sd, "seq16_Conv2d", "Conv_1")
+    put("seq19_Conv", "ConvBN_5")
+    put_csp("seq20_BottleneckCSP", "BottleneckCSP_5")
+    _put_plain_conv(fp, sd, "seq21_Conv2d", "Conv_2")
+    # plain convs: 6 CSP blocks x (cv2, cv3) + 3 detection heads
+    return _unflat(fp), _unflat(fb), count() + 15
+
+
+# YOLOv3 extractor layout (model/YOLOV3.py:73-175): conv numbers per group
+# with residual letters a..w interleaved exactly as built.
+_V3_GROUPS = [  # (group ConvBN number, [(res cb1, res cb2), ...])
+    (2, [(3, 4)]),
+    (5, [(6, 7), (8, 9)]),
+    (10, [(11, 12), (13, 14), (15, 16), (17, 18), (19, 20), (21, 22),
+          (23, 24), (25, 26)]),
+    (27, [(28, 29), (30, 31), (32, 33), (34, 35), (36, 37), (38, 39),
+          (40, 41), (42, 43)]),
+    (44, [(45, 46), (47, 48), (49, 50), (51, 52)]),
+]
+_V3_LETTERS = "abcdefghijklmnopqrstuvw"
+
+
+def load_reference_yolov3(params, batch_stats, state_dict):
+    """Transplant a complete reference-YOLOv3 state_dict
+    (model/YOLOV3.py:73-234: extractor SelectiveSequential + 5 detector
+    sequences) into our flax YOLOv3.  Returns (params, batch_stats, n)."""
+    fp, fb = _flat(params), _flat(batch_stats)
+    put, count = _convbn_putter(fp, fb, state_dict, ".layers.0", ".layers.1")
+
+    dk = "Darknet53_0"
+    put("extractor.1_convbatch", f"{dk}/ConvBN_0")
+    res_i, letter_i = 0, 0
+    for gi, (conv_no, residuals) in enumerate(_V3_GROUPS, start=1):
+        put(f"extractor.{conv_no}_convbatch", f"{dk}/ConvBN_{gi}")
+        for cb1, cb2 in residuals:
+            letter = _V3_LETTERS[letter_i]
+            put(f"extractor.{letter}_residual.{cb1}_convbatch",
+                f"{dk}/Residual_{res_i}/ConvBN_0")
+            put(f"extractor.{letter}_residual.{cb2}_convbatch",
+                f"{dk}/Residual_{res_i}/ConvBN_1")
+            res_i += 1
+            letter_i += 1
+
+    # detector sequences -> (_DetectSeq_0, ConvBN_0, _DetectSeq_1, ConvBN_1,
+    # _DetectSeq_2); each _DetectSeq holds ConvBN_0..5 + Conv_0
+    seqs = [("detector.0", "_DetectSeq_0", 53),
+            ("detector.2", "_DetectSeq_1", 62),
+            ("detector.4", "_DetectSeq_2", 71)]
+    for tbase, fbase, start in seqs:
+        for j in range(6):
+            put(f"{tbase}.{start + j}_convbatch", f"{fbase}/ConvBN_{j}")
+        _put_plain_conv(fp, state_dict, f"{tbase}.{start + 6}_conv",
+                        f"{fbase}/Conv_0")
+    put("detector.1.60_convbatch", "ConvBN_0")
+    put("detector.3.69_convbatch", "ConvBN_1")
+    return _unflat(fp), _unflat(fb), count() + 3
+
+
+def load_reference_yolov4(params, batch_stats, state_dict):
+    """Transplant a complete reference-YOLOv4 state_dict (model/YOLOV4.py:
+    136-283 down1-5/neek/head, YoloV4Utils.py:264-481) into our flax YOLOv4.
+    Returns (params, batch_stats, n)."""
+    fp, fb = _flat(params), _flat(batch_stats)
+    put, count = _convbn_putter(fp, fb, state_dict, ".conv.0", ".conv.1")
+
+    for i in range(1, 9):                                   # DownSample1
+        put(f"down1.conv{i}", f"DownSample1_0/ConvBN_{i - 1}")
+    nblocks = {2: 2, 3: 8, 4: 8, 5: 4}
+    for d in range(2, 6):                                   # DownSample2-5
+        base = f"DownSampleCSP_{d - 2}"
+        for i, fi in ((1, 0), (2, 1), (3, 2), (4, 3), (5, 4)):
+            put(f"down{d}.conv{i}", f"{base}/ConvBN_{fi}")
+        for r in range(nblocks[d]):
+            put(f"down{d}.resblock.module_list.{r}.0",
+                f"{base}/MishResBlock_0/ConvBN_{2 * r}")
+            put(f"down{d}.resblock.module_list.{r}.1",
+                f"{base}/MishResBlock_0/ConvBN_{2 * r + 1}")
+    for i in range(1, 21):                                  # Neck conv1-20
+        put(f"neek.conv{i}", f"Neck_0/ConvBN_{i - 1}")
+    # Head: convs 2/10/18 are the plain (linear, bias) output convs
+    head_map = [("conv1", "ConvBN_0"), ("conv3", "ConvBN_1"),
+                ("conv4", "ConvBN_2"), ("conv5", "ConvBN_3"),
+                ("conv6", "ConvBN_4"), ("conv7", "ConvBN_5"),
+                ("conv8", "ConvBN_6"), ("conv9", "ConvBN_7"),
+                ("conv11", "ConvBN_8"), ("conv12", "ConvBN_9"),
+                ("conv13", "ConvBN_10"), ("conv14", "ConvBN_11"),
+                ("conv15", "ConvBN_12"), ("conv16", "ConvBN_13"),
+                ("conv17", "ConvBN_14")]
+    for tk, fk in head_map:
+        put(f"head.{tk}", fk)
+    for tk, fk in [("conv2", "Conv_0"), ("conv10", "Conv_1"),
+                   ("conv18", "Conv_2")]:
+        _put_plain_conv(fp, state_dict, f"head.{tk}.conv.0", fk)
+    return _unflat(fp), _unflat(fb), count() + 3
+
+
+def load_reference_retinanet(params, batch_stats, state_dict):
+    """Transplant a complete reference-RetinaNet state_dict
+    (model/RetinaNet.py:44-115 + model/backbone/RetinaNetbone.py:8-76) into
+    our flax RetinaNet.  Returns (params, batch_stats, n)."""
+    fp, fb = _flat(params), _flat(batch_stats)
+    n = 0
+
+    def put_convbn(conv_key, bn_key, base):
+        nonlocal n
+        w = np.asarray(state_dict[f"{conv_key}.weight"])
+        kw = f"{base}/Conv_0/kernel"
+        assert fp[kw].shape == conv_to_flax(w).shape, (kw, fp[kw].shape,
+                                                       w.shape)
+        fp[kw] = conv_to_flax(w)
+        fp[f"{base}/BatchNorm_0/scale"] = np.asarray(
+            state_dict[f"{bn_key}.weight"])
+        fp[f"{base}/BatchNorm_0/bias"] = np.asarray(
+            state_dict[f"{bn_key}.bias"])
+        fb[f"{base}/BatchNorm_0/mean"] = np.asarray(
+            state_dict[f"{bn_key}.running_mean"])
+        fb[f"{base}/BatchNorm_0/var"] = np.asarray(
+            state_dict[f"{bn_key}.running_var"])
+        n += 1
+
+    fpn = "ResNetFPN_0"
+    put_convbn("fpn.conv1", "fpn.bn1", f"{fpn}/ConvBN_0")
+    block = 0
+    for L, n_blocks in enumerate(RESNET50_BLOCKS, start=1):
+        for i in range(n_blocks):
+            base = f"{fpn}/Bottleneck_{block}"
+            for c in range(1, 4):
+                put_convbn(f"fpn.layer{L}.{i}.conv{c}",
+                           f"fpn.layer{L}.{i}.bn{c}", f"{base}/ConvBN_{c - 1}")
+            if f"fpn.layer{L}.{i}.downsample.0.weight" in state_dict:
+                put_convbn(f"fpn.layer{L}.{i}.downsample.0",
+                           f"fpn.layer{L}.{i}.downsample.1",
+                           f"{base}/ConvBN_3")
+            block += 1
+    # FPN plain convs in our creation order (models/retinanet.py:62-71)
+    fpn_convs = [("fpn.conv6", "Conv_0"), ("fpn.conv7", "Conv_1"),
+                 ("fpn.latlayer1", "Conv_2"), ("fpn.toplayer1", "Conv_3"),
+                 ("fpn.latlayer2", "Conv_4"), ("fpn.toplayer2", "Conv_5"),
+                 ("fpn.latlayer3", "Conv_6")]
+    for tk, fk in fpn_convs:
+        _put_plain_conv(fp, state_dict, tk, f"{fpn}/{fk}")
+        n += 1
+    # shared heads: Sequential conv indices 0,2,4,6 + output 8
+    for tname, fname in (("loc_head", "_Head_0"), ("cls_head", "_Head_1")):
+        for j, ti in enumerate((0, 2, 4, 6, 8)):
+            _put_plain_conv(fp, state_dict, f"{tname}.{ti}",
+                            f"{fname}/Conv_{j}")
+            n += 1
+    return _unflat(fp), _unflat(fb), n
+
+
 def load_torch_checkpoint(model_name: str, params, batch_stats,
                           state_dict: Dict[str, np.ndarray]):
     """Route a torch state_dict into the right converter by key signature.
