@@ -9,8 +9,10 @@ sharding annotations, so XLA emits the gradient all-reduce (and global
 BatchNorm reductions) as ICI collectives — the pjit/GSPMD recipe, not a
 hand-written NCCL translation.
 
-The mesh carries a second, size-1 'model' axis so later tensor-parallel
-sharding of wide conv channels is an annotation change, not a redesign
+The mesh carries a second 'model' axis (size 1 by default) for tensor
+parallelism: ``model_parallel_shardings`` splits conv output channels over
+it, and ``tests/test_train.py::test_model_axis_tensor_parallel_step`` proves
+a full train step on a (data=4, model=2) mesh matches the single-device step
 (SURVEY.md §2.11 TP row).
 """
 
@@ -51,3 +53,38 @@ def shard_batch(batch, mesh: Mesh):
     the mesh, sharded over 'data'."""
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def model_parallel_shardings(mesh: Mesh, tree, min_dim: int = 8):
+    """Tensor-parallel sharding rule for the 'model' mesh axis.
+
+    Returns a sharding pytree matching ``tree``: every array whose *last*
+    dimension is divisible by the 'model' axis size and at least ``min_dim``
+    is sharded on that dimension — conv kernels [H, W, I, O] split their
+    output channels, and the matching bias / BatchNorm scale/bias/mean/var
+    vectors [O] split the same way, so each model-shard holds a contiguous
+    slice of every layer's filters.  Everything else (scalars, tiny heads)
+    is replicated.  Under jit, XLA/GSPMD propagates the channel sharding
+    through the activations and inserts the (reduce-)scatter/all-gather
+    collectives — the pjit recipe, no manual comm code.
+
+    With model axis size 1 this degrades to all-replicated, which is why the
+    default mesh carries the axis at size 1 (annotation-compatible).
+    """
+    m = mesh.shape["model"]
+
+    def rule(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) >= 1 and shape[-1] % m == 0 and shape[-1] >= max(
+                m, min_dim):
+            spec = [None] * (len(shape) - 1) + ["model"]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, tree)
+
+
+def shard_model_parallel(mesh: Mesh, tree, min_dim: int = 8):
+    """device_put ``tree`` according to ``model_parallel_shardings``."""
+    shardings = model_parallel_shardings(mesh, tree, min_dim)
+    return jax.tree.map(jax.device_put, tree, shardings)
