@@ -32,6 +32,8 @@ class Config:
     num_workers: int = 0
     letterbox: bool = False           # aspect-preserving resize + pad (v5 style)
     mosaic: float = 0.0               # mosaic probability (train only)
+    cache_dir: str = ""               # packed pre-decoded cache (data/cache.py);
+                                      # built on first setup when set
 
     # model section (configs/config.yaml:24-32)
     model_name: str = "YOLOv5"

@@ -40,34 +40,53 @@ class DataModule:
         raise NotImplementedError
 
     def _loader(self, parser, shuffle, indices=None, limit=None,
-                batch_size: Optional[int] = None, sharded: bool = False
-                ) -> Loader:
+                batch_size: Optional[int] = None, sharded: bool = False,
+                split: str = "train") -> Loader:
         cfg = self.cfg
         if sharded:
             from objectdetectionpl_tpu.parallel import data_shard
             num_shards, shard_id = data_shard()
         else:
             num_shards, shard_id = 1, 0
+        cache_dir = None
+        if cfg.cache_dir:
+            # packed pre-decoded cache per (dataset, parser, geometry); built
+            # once up front, then epochs are memmap gathers (data/cache.py).
+            # Keyed by parser object so train/val index-splits of one parser
+            # share a single cache pass.
+            import os
+            from objectdetectionpl_tpu.data import cache as cache_lib
+            S = cfg.effective_img_size
+            roles = getattr(self, "_cache_roles", {})
+            self._cache_roles = roles
+            role = roles.setdefault(id(parser), split)
+            cache_dir = os.path.join(
+                cfg.cache_dir,
+                f"{self.name}_{role}_{S}px" + ("_lb" if cfg.letterbox else ""))
+            cache_lib.build_packed_cache(parser, S, cache_dir,
+                                         letterbox=cfg.letterbox)
         return Loader(parser, cfg.effective_img_size,
                       batch_size or cfg.batch_size, cfg.max_boxes,
                       shuffle=shuffle, seed=cfg.seed, indices=indices,
                       limit_batches=limit, letterbox=cfg.letterbox,
-                      num_shards=num_shards, shard_id=shard_id)
+                      num_shards=num_shards, shard_id=shard_id,
+                      cache_dir=cache_dir)
 
     def train_dataloader(self) -> Loader:
         # train batches are process-sharded (per-host input pipeline);
         # val/test run the full set on every host so their metrics need no
         # cross-host reduction.
         return self._loader(self.train_parser, True, self.train_idx,
-                            self.cfg.limit_train_batches, sharded=True)
+                            self.cfg.limit_train_batches, sharded=True,
+                            split="train")
 
     def val_dataloader(self) -> Loader:
         return self._loader(self.val_parser, False, self.val_idx,
-                            self.cfg.limit_val_batches)
+                            self.cfg.limit_val_batches, split="val")
 
     def test_dataloader(self) -> Loader:
         return self._loader(self.test_parser, False, None,
-                            self.cfg.limit_test_batches)
+                            self.cfg.limit_test_batches, split="test")
 
 
 class SyntheticModule(DataModule):

@@ -60,7 +60,7 @@ class Loader:
                  indices: Optional[Sequence[int]] = None,
                  drop_last: bool = True, limit_batches: Optional[int] = None,
                  letterbox: bool = False, num_shards: int = 1,
-                 shard_id: int = 0):
+                 shard_id: int = 0, cache_dir: Optional[str] = None):
         self.parser = parser
         self.img_size = img_size
         self.batch_size = batch_size
@@ -79,6 +79,16 @@ class Loader:
         # analogue.  Equal lengths keep hosts in lockstep at collectives.
         self.num_shards = max(int(num_shards), 1)
         self.shard_id = int(shard_id)
+        # Packed pre-decoded cache (data/cache.py): when cache_dir holds a
+        # valid matching cache, epochs skip decode/resize entirely — a
+        # memmap gather per batch, emitting uint8 (the Trainer normalizes on
+        # device).  The 1-core host cannot otherwise keep up with the v5e
+        # (benchmarks/host_pipeline_bench.py).
+        self.cache = None
+        if cache_dir:
+            from objectdetectionpl_tpu.data import cache as cache_lib
+            self.cache = cache_lib.maybe_open(cache_dir, len(parser),
+                                              img_size, letterbox)
 
     def _shard_len(self) -> int:
         return len(self.indices) // self.num_shards
@@ -128,9 +138,15 @@ class Loader:
         if self.num_shards > 1:
             order = order[self.shard_id::self.num_shards][:self._shard_len()]
 
+        n_batches = len(self)
+        if self.cache is not None:
+            for b in range(n_batches):
+                idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                yield self.cache.batch(idx, self.max_boxes)
+            return
+
         from objectdetectionpl_tpu.data import native
 
-        n_batches = len(self)
         use_native = native.available()
         fused = use_native and hasattr(self.parser, "record")
         S = self.img_size

@@ -266,3 +266,36 @@ def test_affine_warp_rotates_about_center():
     # mass stays centered and the box is now wide
     assert abs(ys.mean() - 31.5) < 1.0 and abs(xs.mean() - 31.5) < 1.0
     assert ys.max() - ys.min() < xs.max() - xs.min()
+
+
+def test_packed_cache_roundtrip(tmp_path):
+    """Packed pre-decoded cache (data/cache.py): cached epochs are
+    numerically identical to live decode epochs (images via uint8/255,
+    targets exactly), across both plain-resize and letterbox geometry."""
+    from objectdetectionpl_tpu.data import cache as cache_lib
+
+    parser = SyntheticParser(10, img_hw=64)
+    for letterbox in (False, True):
+        d = str(tmp_path / f"cache_lb{int(letterbox)}")
+        cache_lib.build_packed_cache(parser, 64, d, letterbox=letterbox)
+        assert cache_lib.cache_valid(d, 10, 64, letterbox)
+        # rebuild is a no-op (idempotent)
+        cache_lib.build_packed_cache(parser, 64, d, letterbox=letterbox)
+
+        live = Loader(parser, 64, batch_size=4, max_boxes=8, shuffle=True,
+                      seed=3, letterbox=letterbox)
+        cached = Loader(parser, 64, batch_size=4, max_boxes=8, shuffle=True,
+                        seed=3, letterbox=letterbox, cache_dir=d)
+        assert cached.cache is not None
+        for lb, cb in zip(live, cached):
+            assert cb.images.dtype == np.uint8
+            np.testing.assert_allclose(
+                cb.images.astype(np.float32) / 255.0, lb.images, atol=1e-6)
+            np.testing.assert_array_equal(cb.labels, lb.labels)
+            np.testing.assert_allclose(cb.boxes, lb.boxes, atol=1e-6)
+            np.testing.assert_array_equal(cb.mask, lb.mask)
+
+    # geometry mismatch -> cache refused, live path used
+    stale = Loader(parser, 32, batch_size=4, max_boxes=8,
+                   cache_dir=str(tmp_path / "cache_lb0"))
+    assert stale.cache is None
