@@ -19,12 +19,20 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+try:  # persistent compilation cache (remote compiles take minutes here)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 
 def main():
@@ -39,6 +47,8 @@ def main():
     p.add_argument("--max-boxes", type=int, default=32)
     p.add_argument("--fwd-only", action="store_true",
                    help="time the train-mode forward alone (no grad)")
+    p.add_argument("--remat", default="none", choices=["none", "early", "all"],
+                   help="activation rematerialization policy (YOLOv5)")
     args = p.parse_args()
 
     from objectdetectionpl_tpu.config import Config
@@ -49,7 +59,7 @@ def main():
 
     cfg = Config(optimizer="Adam", lr=1e-3, weight_decay=1e-5)
     model = build_model(args.model, args.classes, dtype=jnp.bfloat16,
-                        yolov5_type=args.variant)
+                        yolov5_type=args.variant, remat=args.remat)
     loss_fn = loss_lib.make_loss(args.model, args.classes, args.img)
     tx = build_optimizer(cfg)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), args.img,
@@ -109,6 +119,7 @@ def main():
     dt = (time.perf_counter() - t0) / args.steps
     ips = A * B / dt
     print(json.dumps({"mode": "train_step", "model": args.model,
+                      "remat": args.remat,
                       "batch": B, "accum": A, "img": S,
                       "ms_per_step": round(dt * 1e3, 2),
                       "images_per_sec": round(ips, 1),

@@ -78,6 +78,7 @@ class Config:
 
     # TPU-native knobs (no reference equivalent)
     compute_dtype: str = "float32"    # "bfloat16" for MXU-friendly compute
+    remat: str = "none"               # activation remat: none | early | all
     ema_decay: float = 0.0            # param EMA for eval/serving (0 = off)
     profile_steps: int = 0            # trace this many train steps to TB
     nan_check: bool = True            # raise on non-finite train loss
