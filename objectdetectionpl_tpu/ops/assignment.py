@@ -154,9 +154,14 @@ def build_targets_yolo(pred_boxes, pred_cls, labels, boxes, mask, anchors,
 class V5Targets(NamedTuple):
     """Fixed-size YOLOv5 assignment for one detection layer.
 
-    K = M * A * 5 candidate slots (5 = center + rect4 neighbor offsets).
-    Mirrors (tcls, tbox, indices, anch) of the reference ``build_targets_v5``
-    (LightningFunc/accuracy.py:472-521) with an explicit validity mask.
+    K = M * A * 3 candidate slots (center + one x-neighbor + one y-neighbor).
+    The reference enumerates 5 rect4 offsets (accuracy.py:501-506) but the
+    x-lo/x-hi and y-lo/y-hi conditions are mutually exclusive (frac < 0.5 vs
+    > 0.5), so at most 3 can be active per box — we allocate exactly those,
+    which shrinks the loss's gather/scatter-add volume 40% at identical
+    semantics.  Mirrors (tcls, tbox, indices, anch) of the reference
+    ``build_targets_v5`` (LightningFunc/accuracy.py:472-521) with an explicit
+    validity mask.
     """
 
     b: jax.Array      # [B*K] image index
@@ -188,38 +193,42 @@ def build_targets_v5(labels, boxes, mask, anchors_layer, grid_size: int,
     ratio_ok = jnp.max(jnp.maximum(r, 1.0 / r), axis=-1) < anchor_t
     base = mask[:, :, None] & ratio_ok               # [B, M, A]
 
-    # rect4 neighbor conditions (accuracy.py:501-506).
+    # rect4 neighbor conditions (accuracy.py:501-506), folded to 3 variants:
+    # frac < 0.5 selects the lo neighbor, frac > 0.5 the hi one — never both.
     frac = gxy % 1.0
-    cond_x_lo = (frac[..., 0] < 0.5) & (gxy[..., 0] > 1.0)
-    cond_y_lo = (frac[..., 1] < 0.5) & (gxy[..., 1] > 1.0)
-    cond_x_hi = (frac[..., 0] > 0.5) & (gxy[..., 0] < gsz - 1.0)
-    cond_y_hi = (frac[..., 1] > 0.5) & (gxy[..., 1] < gsz - 1.0)
-    ones = jnp.ones_like(cond_x_lo)
-    variant_ok = jnp.stack([ones, cond_x_lo, cond_y_lo, cond_x_hi, cond_y_hi],
-                           axis=-1)                  # [B, M, 5]
+    lo = frac < 0.5                                  # [B, M, 2] (x, y)
+    # signed offset (in units of the reference's subtracted off * g=0.5):
+    # lo -> +1 (cell to the left/top), hi -> -1 (right/bottom).
+    sgn = jnp.where(lo, 1.0, -1.0)                   # [B, M, 2]
+    in_rng = jnp.where(lo, gxy > 1.0, gxy < gsz - 1.0)  # [B, M, 2]
+    ones = jnp.ones_like(in_rng[..., 0])
+    variant_ok = jnp.stack([ones, in_rng[..., 0], in_rng[..., 1]],
+                           axis=-1)                  # [B, M, 3]
 
-    # offsets * g=0.5, subtracted from gxy before floor (accuracy.py:506,512).
-    offs = jnp.array([[0, 0], [1, 0], [0, 1], [-1, 0], [0, -1]],
-                     jnp.float32) * 0.5              # [5, 2]
+    zero = jnp.zeros_like(sgn[..., 0])
+    offs = jnp.stack([jnp.stack([zero, zero], -1),            # center
+                      jnp.stack([sgn[..., 0], zero], -1),     # x neighbor
+                      jnp.stack([zero, sgn[..., 1]], -1)],    # y neighbor
+                     axis=2) * 0.5                   # [B, M, 3, 2]
 
-    valid = (base[:, :, :, None] & variant_ok[:, :, None, :])  # [B, M, A, 5]
-    gij = jnp.floor(gxy[:, :, None, None, :] - offs[None, None, None])
-    gi = gij[..., 0].astype(jnp.int32)               # [B, M, 1, 5] -> broadcast
-    gj = gij[..., 1].astype(jnp.int32)
-    gi = jnp.broadcast_to(gi, (B, M, A, 5))
-    gj = jnp.broadcast_to(gj, (B, M, A, 5))
+    valid = (base[:, :, :, None] & variant_ok[:, :, None, :])  # [B, M, A, 3]
+    gij = jnp.floor(gxy[:, :, None, :] - offs)       # [B, M, 3, 2]
+    gi = jnp.broadcast_to(gij[..., 0].astype(jnp.int32)[:, :, None, :],
+                          (B, M, A, 3))
+    gj = jnp.broadcast_to(gij[..., 1].astype(jnp.int32)[:, :, None, :],
+                          (B, M, A, 3))
 
-    dxy = gxy[:, :, None, None, :] - gij             # [B, M, 1, 5, 2]
+    dxy = gxy[:, :, None, :] - gij                   # [B, M, 3, 2]
     tbox = jnp.concatenate(
-        [jnp.broadcast_to(dxy, (B, M, A, 5, 2)),
-         jnp.broadcast_to(gwh[:, :, None, None, :], (B, M, A, 5, 2))], axis=-1)
+        [jnp.broadcast_to(dxy[:, :, None], (B, M, A, 3, 2)),
+         jnp.broadcast_to(gwh[:, :, None, None, :], (B, M, A, 3, 2))], axis=-1)
 
-    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None, None, None], (B, M, A, 5))
-    a_idx = jnp.broadcast_to(jnp.arange(A)[None, None, :, None], (B, M, A, 5))
-    anch = jnp.broadcast_to(anchors_layer[None, None, :, None, :], (B, M, A, 5, 2))
-    cls = jnp.broadcast_to(labels[:, :, None, None], (B, M, A, 5))
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None, None, None], (B, M, A, 3))
+    a_idx = jnp.broadcast_to(jnp.arange(A)[None, None, :, None], (B, M, A, 3))
+    anch = jnp.broadcast_to(anchors_layer[None, None, :, None, :], (B, M, A, 3, 2))
+    cls = jnp.broadcast_to(labels[:, :, None, None], (B, M, A, 3))
 
-    flat = lambda x: x.reshape(B * M * A * 5, *x.shape[4:])
+    flat = lambda x: x.reshape(B * M * A * 3, *x.shape[4:])
     v = flat(valid)
     # Clamp indices so gathers stay in-bounds; validity masks the result.
     gi_f = jnp.clip(flat(gi), 0, grid_size - 1)
