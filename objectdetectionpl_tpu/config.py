@@ -98,6 +98,12 @@ class Config:
 
     @property
     def effective_img_size(self) -> int:
+        # SSD's default-box ladder (fks 38/19/10/5/3/1) is derived from a
+        # 300px input; the reference force-overrides any configured size to
+        # 300 for SSD (run.py:35-38) — reproduced here.  All other families
+        # are resolution-polymorphic and honor an explicit img_size.
+        if self.model_name == "SSD":
+            return 300
         if self.img_size:
             return self.img_size
         from objectdetectionpl_tpu.models.registry import default_img_size

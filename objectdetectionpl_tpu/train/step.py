@@ -37,8 +37,14 @@ def make_train_step(model, loss_fn: Callable, tx,
         out, upd = model.apply(
             {"params": params, "batch_stats": batch_stats}, images,
             train=True, mutable=["batch_stats"])
+        # Models without normalization statistics (SSD's VGG16 has no BN)
+        # return an empty/absent collection whose container type can differ
+        # from the carried one ({} vs FrozenDict()); normalize to the carry.
         metrics = loss_fn(out, labels, boxes, mask)
-        return metrics["loss"], (metrics, upd["batch_stats"])
+        new_bs = upd.get("batch_stats", batch_stats)
+        if not jax.tree_util.tree_leaves(new_bs):
+            new_bs = batch_stats
+        return metrics["loss"], (metrics, new_bs)
 
     grad_fn = jax.value_and_grad(loss_through_model, has_aux=True)
 
@@ -60,8 +66,10 @@ def make_train_step(model, loss_fn: Callable, tx,
                 state.params, bstats, im, lb, bx, mk)
             grads_acc = jax.tree.map(lambda a, g: a + g * wi, grads_acc, grads)
             # zero-weight micros must not pollute BN running statistics
-            bstats = jax.tree.map(lambda nb, ob: jnp.where(wi > 0, nb, ob),
-                                  new_bs, bstats)
+            # (skip for stats-free models — new_bs aliases bstats there)
+            if jax.tree_util.tree_leaves(bstats):
+                bstats = jax.tree.map(lambda nb, ob: jnp.where(wi > 0, nb, ob),
+                                      new_bs, bstats)
             return (grads_acc, bstats), metrics
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)

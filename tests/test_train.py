@@ -379,3 +379,48 @@ def test_maybe_initialize_noop_without_env(monkeypatch):
               "JAX_NUM_PROCESSES", "JAX_PROCESS_ID", "JAX_AUTO_DISTRIBUTED"):
         monkeypatch.delenv(k, raising=False)
     assert maybe_initialize() is False
+
+
+def test_train_step_without_batch_stats(rng):
+    """make_train_step with a stats-free model (SSD's VGG16 has no BN).
+
+    Regression: the BN-statistics threading used to tree.map an empty plain
+    dict against the carried FrozenDict() — mismatched pytree containers —
+    crashing the Trainer for SSD (found by the synthetic SSD learning run).
+    """
+    import optax
+    from flax import linen as nn
+    from objectdetectionpl_tpu.train import state as state_lib, step as step_lib
+
+    C, S, B, A = 3, 16, 2, 2
+
+    class NoStats(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Conv(8, (3, 3), strides=(2, 2))(x)
+            return nn.Conv(4 + C, (1, 1))(x)
+
+    model = NoStats()
+
+    def loss_fn(out, labels, boxes, mask):
+        loss = jnp.mean(out ** 2)
+        return {"loss": loss}
+
+    tx = optax.sgd(0.1)
+    st = state_lib.create_train_state(model, tx, jax.random.PRNGKey(0), S)
+    assert not jax.tree_util.tree_leaves(st.batch_stats)
+    step = step_lib.make_train_step(model, loss_fn, tx, accum_steps=A)
+
+    im = jnp.asarray(rng.rand(A, B, S, S, 3), jnp.float32)
+    lb = jnp.zeros((A, B, 4), jnp.int32)
+    bx = jnp.zeros((A, B, 4, 4), jnp.float32)
+    mk = jnp.zeros((A, B, 4), bool)
+    st2, metrics = step(st, im, lb, bx, mk)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(st2.step) == 1
+
+
+def test_ssd_img_size_forced_300():
+    """The reference force-overrides img_size to 300 for SSD (run.py:35-38);
+    any other size would break the 8732-dbox ladder mid-training."""
+    assert Config(model_name="SSD", img_size=128).effective_img_size == 300
