@@ -33,8 +33,11 @@ except Exception:
     pass
 
 A100_PT_BASELINE_IPS = 250.0
-BATCH = 256     # sweep 256/384/512/768 -> 3974/3827/3829/3821 img/s: the
-                # [B, K, K] NMS mask growth beats the batching gain past 256
+BATCH = 256     # sweep 256/384/512/768 -> 3974/3827/3829/3821 img/s.
+                # NOT the NMS mask: benchmarks/nms_bench.py measured the
+                # [B,K,K] blocked NMS at 2.6-5.3 ms over that whole range
+                # (BASELINE.md round-3 shoot-out); the falloff past 256 is
+                # the model forward's HBM working set.
 IMG = 640
 WARMUP = 2
 ITERS = 20
