@@ -44,6 +44,15 @@ class _VGGStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        # Kaiming/He fan-out init — torchvision's own from-scratch init for
+        # VGG (vgg._initialize_weights: kaiming_normal_(fan_out, relu)).
+        # The reference loads *pretrained* torchvision weights
+        # (model/SSD.py:46); training from scratch here, flax's default
+        # lecun_normal halves activation variance at every one of the 13
+        # no-BN ReLU convs (~2^-13 by conv5_3) and the net cannot even
+        # memorize 64 images (measured: synthetic run stuck at mAP 0.001
+        # after 150 epochs; see BASELINE.md).
+        kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
         for spec in self.cfg:
             if spec == "M":
                 x = max_pool(x, 2, 2)
@@ -53,7 +62,7 @@ class _VGGStack(nn.Module):
                 x = max_pool(x, 3, 1, 1)
             else:
                 x = ConvBN(spec, 3, act="relu", use_bn=False,
-                           dtype=self.dtype)(x, train)
+                           dtype=self.dtype, kernel_init=kaiming)(x, train)
         return x
 
 

@@ -154,3 +154,20 @@ def test_batchnorm_bf16_moments_match_flax(rng):
     np.testing.assert_allclose(
         np.asarray(yo, np.float32), np.asarray(yr, np.float32),
         atol=3.3e-2)   # 1 bf16 ulp at the |y| ~ 4 tail of the normalized out
+
+
+def test_ssd_vgg_stack_activation_scale(rng):
+    """The no-BN VGG16 stack must hold activation variance through its 13
+    ReLU convs (kaiming fan-out init, torchvision's own from-scratch VGG
+    init).  Regression: flax's default lecun_normal decays variance ~2x per
+    conv (~2^-13 by conv5_3) and the synthetic SSD learning run measured a
+    hard stall at mAP 0.001/150 epochs (BASELINE.md round 3)."""
+    from objectdetectionpl_tpu.models.ssd import _VGGStack, _VGG_F1
+
+    stack = _VGGStack(tuple(_VGG_F1))
+    x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    v = stack.init(jax.random.PRNGKey(0), x, train=False)
+    y = stack.apply(v, x, train=False)
+    # measured: kaiming 0.072 at conv4_3 on uniform[0,1] input; lecun decays
+    # a further ~2^-6.5 to ~1e-3.  0.02 separates the two regimes robustly.
+    assert float(jnp.std(y)) > 0.02
