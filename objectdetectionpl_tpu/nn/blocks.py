@@ -147,10 +147,14 @@ def space_to_depth(x, block: int = 2):
     reference's Reorg (model/YOLOV2.py:147-151) and Focus slicing
     (YoloV5Utils.py:117-127).
     """
-    B, H, W, C = x.shape
-    x = x.reshape(B, H // block, block, W // block, block, C)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(B, H // block, W // block, C * block * block)
+    # Strided phase slices + channel concat, ordered (row-phase, col-phase, C)
+    # exactly like the reshape/transpose formulation this replaces.  The
+    # transpose version materialized an extra full-tensor copy at the v5
+    # stem (315 MB per 128x640px batch in the train-step HLO); slices fuse
+    # into the consumer conv.
+    return jnp.concatenate(
+        [x[:, i::block, j::block, :]
+         for i in range(block) for j in range(block)], axis=-1)
 
 
 def reorg_darknet_bug(x):

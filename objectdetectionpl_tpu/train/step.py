@@ -48,12 +48,35 @@ def make_train_step(model, loss_fn: Callable, tx,
 
     grad_fn = jax.value_and_grad(loss_through_model, has_aux=True)
 
+    def _apply_update(state, grads, batch_stats, metrics):
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(jnp.add, state.params, updates)
+        ema = state.ema_params
+        if ema is not None and ema_decay > 0:
+            ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                ema, params)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=batch_stats,
+                                  opt_state=opt_state, ema_params=ema)
+        return new_state, metrics
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images, labels, boxes, mask,
                    weights=None):
         # weights [A]: per-microbatch contribution (0 = padding slot used to
         # flush a leftover partial accumulation window at epoch end; the
         # reference/Lightning silently dropped those tail microbatches).
+        if accum_steps == 1 and weights is None:
+            # Single-microbatch fast path: no scan, no zero-grads
+            # accumulator tree, no [1, B, ...] per-iteration slicing —
+            # the scan formulation copied the full image batch (315 MB at
+            # B=128/640px) and serialized an extra grads-tree add.
+            (_, (metrics, new_bs)), grads = grad_fn(
+                state.params, state.batch_stats,
+                images[0], labels[0], boxes[0], mask[0])
+            return _apply_update(state, grads, new_bs, metrics)
+
         if weights is None:
             w = jnp.ones((images.shape[0],), jnp.float32)
         else:
@@ -80,18 +103,7 @@ def make_train_step(model, loss_fn: Callable, tx,
         grads = jax.tree.map(lambda g: g / wsum, grads)
         metrics = jax.tree.map(
             lambda m: jnp.sum(m * w) / wsum, metrics)
-
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree.map(jnp.add, state.params, updates)
-        ema = state.ema_params
-        if ema is not None and ema_decay > 0:
-            ema = jax.tree.map(
-                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
-                ema, params)
-        new_state = state.replace(step=state.step + 1, params=params,
-                                  batch_stats=batch_stats,
-                                  opt_state=opt_state, ema_params=ema)
-        return new_state, metrics
+        return _apply_update(state, grads, batch_stats, metrics)
 
     return train_step
 
