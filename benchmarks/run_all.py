@@ -22,14 +22,16 @@ import jax
 import jax.numpy as jnp
 
 CONFIGS = [
-    # (model, variant, img, batch, classes)  — batch tuned per memory footprint
-    ("YOLOv2", None, 416, 256, 20),
-    ("YOLOv3", None, 416, 128, 80),
-    ("YOLOv4", None, 416, 96, 80),
-    ("YOLOv5", "Yolov5s", 640, 384, 10),
-    ("YOLOv5", "Yolov5m", 640, 192, 10),
-    ("SSD", None, 300, 256, 20),
-    ("RetinaNet", None, 600, 64, 80),
+    # (model, variant, img, infer_batch, train_batch, classes)
+    # batches tuned per memory footprint; infer batch 256 is the measured
+    # sweet spot for YOLOv5s (bench.py sweep), train batch 128 (BASELINE.md)
+    ("YOLOv2", None, 416, 256, 128, 20),
+    ("YOLOv3", None, 416, 128, 64, 80),
+    ("YOLOv4", None, 416, 96, 48, 80),
+    ("YOLOv5", "Yolov5s", 640, 256, 128, 10),
+    ("YOLOv5", "Yolov5m", 640, 192, 48, 10),
+    ("SSD", None, 300, 256, 128, 20),
+    ("RetinaNet", None, 600, 64, 32, 80),
 ]
 
 
@@ -74,40 +76,112 @@ def bench_one(model_name, variant, img, batch, classes, iters=10, warmup=2):
     return batch * iters / dt
 
 
+def bench_train_one(model_name, variant, img, batch, classes,
+                    steps=6, warmup=1):
+    """Full production train step (fwd + loss + bwd + Adam), bf16."""
+    from objectdetectionpl_tpu.config import Config
+    from objectdetectionpl_tpu.models import build_model
+    from objectdetectionpl_tpu.ops import losses as loss_lib
+    from objectdetectionpl_tpu.train import (
+        build_optimizer, create_train_state, make_train_step)
+
+    cfg = Config(optimizer="Adam", lr=1e-3, weight_decay=1e-5)
+    model = build_model(model_name, classes, dtype=jnp.bfloat16,
+                        yolov5_type=variant or "Yolov5s")
+    loss_fn = loss_lib.make_loss(model_name, classes, img)
+    tx = build_optimizer(cfg)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), img,
+                               batch_size=1)
+    train_step = make_train_step(model, loss_fn, tx, accum_steps=1)
+
+    M = 32
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, batch, img, img, 3), jnp.bfloat16)
+    labels = jnp.asarray(rng.randint(0, classes, (1, batch, M)), jnp.int32)
+    boxes = jnp.asarray(
+        np.stack([rng.uniform(0.3, 0.7, (1, batch, M, 2)),
+                  rng.uniform(0.05, 0.3, (1, batch, M, 2))],
+                 axis=-2).reshape(1, batch, M, 4), jnp.float32)
+    mask = jnp.asarray(rng.rand(1, batch, M) < 0.5)
+
+    @jax.jit
+    def chain(state):
+        def body(st, _):
+            st, metrics = train_step(st, images, labels, boxes, mask)
+            return st, metrics["loss"]
+        st, losses = jax.lax.scan(body, state, None, length=steps)
+        return st, losses.sum()
+
+    st, s = chain(state)
+    float(s)                                  # compile + warm, forced barrier
+    for _ in range(warmup - 1):
+        st, s = chain(st)
+        float(s)
+    t0 = time.perf_counter()
+    st, s = chain(st)
+    float(s)
+    dt = (time.perf_counter() - t0) / steps
+    return batch / dt
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="smaller batches, fewer iters")
+    p.add_argument("--train", action="store_true",
+                   help="also measure the production train step per family")
     args = p.parse_args()
 
     rows = []
-    for model_name, variant, img, batch, classes in CONFIGS:
+    for model_name, variant, img, batch, tbatch, classes in CONFIGS:
         if args.quick:
             batch = max(batch // 4, 8)
+            tbatch = max(tbatch // 4, 8)
         name = variant or model_name
         try:
             ips = bench_one(model_name, variant, img, batch, classes,
                             iters=5 if args.quick else 10)
-            rows.append((name, img, batch, round(ips, 1)))
-            print(json.dumps({"model": name, "img": img, "batch": batch,
-                              "images_per_sec_chip": round(ips, 1)}),
-                  flush=True)
+            row = {"model": name, "img": img, "batch": batch,
+                   "images_per_sec_chip": round(ips, 1)}
+            if args.train:
+                tips = bench_train_one(model_name, variant, img, tbatch,
+                                       classes, steps=3 if args.quick else 6)
+                row.update(train_batch=tbatch,
+                           train_images_per_sec_chip=round(tips, 1))
+            rows.append(row)
+            print(json.dumps(row), flush=True)
         except Exception as e:
-            rows.append((name, img, batch, f"failed: {type(e).__name__}"))
+            rows.append({"model": name, "img": img, "batch": batch,
+                         "images_per_sec_chip": f"failed: {type(e).__name__}"})
             print(json.dumps({"model": name, "error": str(e)[:120]}),
                   flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "RESULTS.md")
+    with_train = args.train and any("train_images_per_sec_chip" in r
+                                    for r in rows)
     with open(out, "w") as f:
-        f.write("# End-to-end inference throughput (preproc+forward+decode"
-                "+NMS)\n\nbfloat16, one chip, fixed-shape batched NMS.\n"
-                "Methodology: 10 iterations chained inside one jitted "
-                "fori_loop\n(checksum-perturbed input, single scalar fetch) "
-                "— see CLAUDE.md.\n\n"
-                "| model | img | batch | images/sec/chip |\n|---|---|---|---|\n")
-        for name, img, batch, ips in rows:
-            f.write(f"| {name} | {img} | {batch} | {ips} |\n")
+        f.write("# Per-family throughput (one TPU v5e chip, bfloat16)\n\n"
+                "Inference = uint8 preproc + forward + decode + fixed-shape "
+                "batched NMS.\nTrain = production train step (fwd + loss + "
+                "bwd + Adam).\nMethodology: iterations chained inside one "
+                "jitted fori_loop/scan\n(data-dependent carry, single scalar "
+                "fetch) — see CLAUDE.md.\n\n")
+        if with_train:
+            f.write("| model | img | infer batch | infer img/s | train batch"
+                    " | train img/s |\n|---|---|---|---|---|---|\n")
+        else:
+            f.write("| model | img | batch | images/sec/chip |\n"
+                    "|---|---|---|---|\n")
+        for r in rows:
+            if with_train:
+                f.write(f"| {r['model']} | {r['img']} | {r['batch']} | "
+                        f"{r['images_per_sec_chip']} | "
+                        f"{r.get('train_batch', '—')} | "
+                        f"{r.get('train_images_per_sec_chip', '—')} |\n")
+            else:
+                f.write(f"| {r['model']} | {r['img']} | {r['batch']} | "
+                        f"{r['images_per_sec_chip']} |\n")
     print(f"wrote {out}")
 
 
