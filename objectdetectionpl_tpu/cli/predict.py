@@ -16,6 +16,12 @@ import os
 
 import numpy as np
 
+# The axon TPU plugin ignores a `JAX_PLATFORMS=cpu` env var (CLAUDE.md);
+# honor an explicit CPU request before the first backend touch.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from objectdetectionpl_tpu.config import load_config

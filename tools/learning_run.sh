@@ -8,7 +8,15 @@
 # followed by run.py:117-118 (trainer.test).
 #
 # Usage: tools/learning_run.sh MODEL IMG CHUNK_EPOCHS N_CHUNKS [extra --set args...]
-#   e.g. tools/learning_run.sh YOLOv5 256 100 3 --set compute_dtype bfloat16
+#   e.g. tools/learning_run.sh YOLOv5 256 100 3 --set lr_scheduler LambdaLR
+#
+# NOTE: for runs past ~15 epochs, pass `--set lr_scheduler LambdaLR`
+# (constant LR). The config default reproduces the reference's
+# ReduceLROnPlateau(mode=max, threshold=0.9) quirk, which decays LR x0.1
+# every ~4 epochs and freezes training (BASELINE.md / DIVERGENCES.md).
+#
+# The trainer's PID is written to /tmp/learning_run.pid so a stuck run can
+# be killed by exact PID (never by process-name pattern — CLAUDE.md).
 set -u
 MODEL=$1; IMG=$2; EPOCHS=$3; CHUNKS=$4; shift 4
 
@@ -21,5 +29,8 @@ for i in $(seq 1 "$CHUNKS"); do
     --set max_epochs "$EPOCHS" --set synthetic_size 64 \
     --set limit_train_batches 999 --set limit_val_batches 999 \
     --set limit_test_batches 999 --set early_stop_patience 999 \
-    "$@" 2>&1 | grep -v -E "WARNING|absl|cudart|oneDNN" | tail -8
+    "$@" > >(grep -v -E "WARNING|absl|cudart|oneDNN" | tail -8) 2>&1 &
+  PID=$!                       # the python trainer itself (not a pipe stage)
+  echo "$PID" > /tmp/learning_run.pid
+  wait "$PID"
 done
