@@ -19,4 +19,7 @@ equivalent of the reference's ragged `[N, 6]` target tensor
 (reference: dataset/Pascal.py:144-186).
 """
 
+# NOTE: this module (and cli/__init__.py) must stay jax-free: the CLIs'
+# CPU override (cli/_platform.py) must run before any jax backend touch.
+
 __version__ = "0.1.0"

@@ -16,11 +16,7 @@ import os
 
 import numpy as np
 
-# The axon TPU plugin ignores a `JAX_PLATFORMS=cpu` env var (CLAUDE.md);
-# honor an explicit CPU request before the first backend touch.
-if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-    import jax
-    jax.config.update("jax_platforms", "cpu")
+from objectdetectionpl_tpu.cli import _platform  # noqa: F401  (must precede `import jax`)
 
 import jax.numpy as jnp
 

@@ -13,12 +13,7 @@ import argparse
 import os
 import sys
 
-# The axon TPU plugin ignores a `JAX_PLATFORMS=cpu` env var (CLAUDE.md);
-# honor an explicit CPU request through jax.config before the first backend
-# touch so CPU-only drives never claim the (single, tunneled) TPU chip.
-if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-    import jax
-    jax.config.update("jax_platforms", "cpu")
+from objectdetectionpl_tpu.cli import _platform  # noqa: F401  (must precede `import jax`)
 
 import jax
 

@@ -61,33 +61,59 @@ def auto_lr_find(trainer, num_steps: int = 25, min_lr: float = 1e-7,
     return float(np.clip(suggestion, min_lr, max_lr))
 
 
-def auto_scale_batch_size(trainer, start: int = 2, max_trials: int = 6
-                          ) -> int:
-    """'power' scaling: double the batch until a train step fails.
+def _device_bytes_limit() -> float:
+    """Per-device memory budget in bytes, or +inf when unknown (CPU)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return float(stats["bytes_limit"])
+    except Exception:
+        pass
+    return float("inf")
 
-    Returns the largest working batch size (per the reference's
-    auto_scale_batch_size: power, configs/config.yaml:66).
+
+def batch_fits(trainer, bs: int, headroom: float = 0.9) -> bool:
+    """True when a train step at batch ``bs`` compiles AND its compiler-
+    reported memory footprint (arguments + temporaries + outputs) fits in
+    ``headroom`` x the device memory limit.  AOT only — never executes."""
+    S, M = trainer.img_size, trainer.cfg.max_boxes
+    sds = jax.ShapeDtypeStruct
+    state_sd = jax.eval_shape(lambda s: s, trainer.state)
+    args = (state_sd,
+            sds((1, bs, S, S, 3), np.float32),
+            sds((1, bs, M), np.int32),
+            sds((1, bs, M, 4), np.float32),
+            sds((1, bs, M), np.bool_))
+    try:
+        compiled = trainer.train_step.lower(*args).compile()
+    except Exception:
+        return False          # compiler itself rejected (e.g. RESOURCE_EXHAUSTED)
+    try:
+        mem = compiled.memory_analysis()
+        need = (mem.argument_size_in_bytes + mem.temp_size_in_bytes
+                + mem.output_size_in_bytes)
+    except Exception:
+        return True           # no analysis available: compile success is the gate
+    return need <= headroom * _device_bytes_limit()
+
+
+def auto_scale_batch_size(trainer, start: int = 2, max_trials: int = 6,
+                          headroom: float = 0.9) -> int:
+    """'power' scaling: double the batch until it no longer fits.
+
+    Parity target: the reference's ``auto_scale_batch_size: power``
+    (configs/config.yaml:66), which Lightning implements by *executing*
+    steps until OOM.  Here each candidate is probed ahead-of-time —
+    ``jit(train_step).lower(...).compile()`` plus the compiler's memory
+    analysis against the device ``bytes_limit`` — because on this
+    environment an execution failure mid-TPU-run strands the chip lease for
+    ~1 h (CLAUDE.md).  Nothing is ever dispatched to the device.
     """
-    import jax.numpy as jnp
-
     good = start
     bs = start
-    M = trainer.cfg.max_boxes
-    S = trainer.img_size
     for _ in range(max_trials):
-        try:
-            rng = np.random.RandomState(0)
-            images = jnp.asarray(rng.rand(1, bs, S, S, 3), jnp.float32)
-            labels = jnp.zeros((1, bs, M), jnp.int32)
-            boxes = jnp.tile(jnp.asarray([0.5, 0.5, 0.2, 0.2]),
-                             (1, bs, M, 1)).astype(jnp.float32)
-            mask = jnp.zeros((1, bs, M), bool).at[:, :, 0].set(True)
-            state = jax.tree.map(jnp.copy, trainer.state)
-            state, metrics = trainer.train_step(state, images, labels,
-                                                boxes, mask)
-            jax.block_until_ready(metrics["loss"])
-            good = bs
-            bs *= 2
-        except Exception:
+        if not batch_fits(trainer, bs, headroom):
             break
+        good = bs
+        bs *= 2
     return good

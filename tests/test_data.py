@@ -251,7 +251,8 @@ def test_loader_microbatch_flush_weights():
     # backward passes are *differently compiled* programs; XLA reassociates
     # the f32 conv-grad reductions, giving ~4e-5 param drift after one
     # lr=0.1 SGD step (measured; forward loss above stays bit-exact).
-    assert max(jax.tree.leaves(d)) < 3e-4
+    # Bound at 2.5x the measured drift so a real divergence cannot hide.
+    assert max(jax.tree.leaves(d)) < 1e-4
 
 
 def test_affine_warp_rotates_about_center():

@@ -82,8 +82,14 @@ _CHILD = textwrap.dedent("""
                 for v in (batch.images, batch.labels, batch.boxes,
                           batch.mask)]
         st, metrics = step(st, *args)
+        # post-step parameter norm: catches symmetric all-reduce scaling
+        # bugs (e.g. a missing 1/N) that leave both processes' loss equal
+        pnorm = float(np.sqrt(sum(
+            float(np.square(np.asarray(x.addressable_data(0),
+                                       np.float64)).sum())
+            for x in jax.tree.leaves(st.params))))
         print("RESULT " + json.dumps(
-            {"pid": pid, "loss": float(metrics["loss"]),
+            {"pid": pid, "loss": float(metrics["loss"]), "pnorm": pnorm,
              "devices": len(jax.devices()),
              "local": len(jax.local_devices())}), flush=True)
 """)
@@ -148,7 +154,15 @@ def test_two_process_distributed_matches_single():
     st = state_lib.create_train_state(model, tx, jax.random.PRNGKey(0), S,
                                       batch_size=1)
     step = step_lib.make_train_step(model, loss_fn, tx, accum_steps=1)
-    _, metrics = step(st, *(jnp.asarray(v) for v in
-                            (images, labels, boxes, mask)))
+    st2, metrics = step(st, *(jnp.asarray(v) for v in
+                              (images, labels, boxes, mask)))
     single = float(metrics["loss"])
     assert results[0]["loss"] == pytest.approx(single, rel=1e-4)
+    # post-step param norm parity (see child comment): identical across the
+    # two processes, and equal to the single-process value
+    single_pnorm = float(np.sqrt(sum(
+        float(np.square(np.asarray(x, np.float64)).sum())
+        for x in jax.tree.leaves(st2.params))))
+    assert results[0]["pnorm"] == pytest.approx(results[1]["pnorm"],
+                                                rel=1e-6)
+    assert results[0]["pnorm"] == pytest.approx(single_pnorm, rel=1e-4)

@@ -424,3 +424,35 @@ def test_ssd_img_size_forced_300():
     """The reference force-overrides img_size to 300 for SSD (run.py:35-38);
     any other size would break the 8732-dbox ladder mid-training."""
     assert Config(model_name="SSD", img_size=128).effective_img_size == 300
+
+
+def test_auto_scale_batch_size_is_aot_only(tmp_path, monkeypatch):
+    """The batch probe must never dispatch to the device (an execution
+    failure mid-TPU-run strands the chip lease ~1 h, CLAUDE.md): it lowers +
+    compiles each candidate and gates on compiler memory analysis."""
+    from objectdetectionpl_tpu.train import tune
+    from objectdetectionpl_tpu.train.loop import Trainer
+
+    cfg = Config(data_module="Synthetic", synthetic_size=8, batch_size=2,
+                 img_size=64, model_name="YOLOv2", max_epochs=1, max_boxes=8,
+                 log_dir=str(tmp_path), test=False)
+    t = Trainer(cfg)
+
+    class LowerOnly:
+        """Exposes only .lower(); any execution attempt fails the test."""
+        def __init__(self, f):
+            self._f = f
+
+        def lower(self, *a, **k):
+            return self._f.lower(*a, **k)
+
+        def __call__(self, *a, **k):
+            raise AssertionError("auto_scale_batch_size executed a step")
+
+    t.train_step = LowerOnly(t.train_step)
+
+    # CPU has no bytes_limit -> every compile-able candidate fits
+    assert tune.auto_scale_batch_size(t, start=2, max_trials=3) == 8
+    # a 1-byte budget rejects the first candidate -> returns start
+    monkeypatch.setattr(tune, "_device_bytes_limit", lambda: 1.0)
+    assert tune.auto_scale_batch_size(t, start=2, max_trials=3) == 2

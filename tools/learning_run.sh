@@ -21,16 +21,21 @@ set -u
 MODEL=$1; IMG=$2; EPOCHS=$3; CHUNKS=$4; shift 4
 
 cd "$(dirname "$0")/.."
+RAW=$(mktemp /tmp/learning_run.XXXXXX.log)
 for i in $(seq 1 "$CHUNKS"); do
   echo "=== chunk $i/$CHUNKS: $MODEL@$IMG, $EPOCHS epochs ==="
+  # write the raw log synchronously and filter AFTER wait — a >(grep|tail)
+  # procsub outlives `wait $PID` and interleaves/loses chunk tails
   python -m objectdetectionpl_tpu.cli.run configs/config.yaml \
     --set model_name "$MODEL" --set img_size "$IMG" \
     --set batch_size 16 --set accumulate_grad_batches 1 \
     --set max_epochs "$EPOCHS" --set synthetic_size 64 \
     --set limit_train_batches 999 --set limit_val_batches 999 \
     --set limit_test_batches 999 --set early_stop_patience 999 \
-    "$@" > >(grep -v -E "WARNING|absl|cudart|oneDNN" | tail -8) 2>&1 &
+    "$@" > "$RAW" 2>&1 &
   PID=$!                       # the python trainer itself (not a pipe stage)
   echo "$PID" > /tmp/learning_run.pid
   wait "$PID"
+  grep -v -E "WARNING|absl|cudart|oneDNN" "$RAW" | tail -8
 done
+rm -f "$RAW"
