@@ -104,7 +104,8 @@ def _greedy_nms_single(boxes, scores, labels, k: int, nms_thresh: float,
 
 def blocked_greedy_nms(boxes, scores, labels, obj, nms_thresh: float = 0.4,
                        class_aware: bool = True, merge: bool = True,
-                       plus1: float = 1.0, tile: int = 64):
+                       plus1: float = 1.0, tile: int = 64,
+                       drop_lone_survivor: bool = False):
     """Batched greedy NMS as dense matrix ops — no serial per-box loop.
 
     Same sorted-candidate semantics as ``_greedy_nms_single`` (and the Pallas
@@ -180,6 +181,21 @@ def blocked_greedy_nms(boxes, scores, labels, obj, nms_thresh: float = 0.4,
                              jnp.arange(n_tiles))
     keep = kept_f > 0.5
 
+    if drop_lone_survivor:
+        # Reference quirk (model/SSD.py:276-278): the greedy loop breaks when
+        # exactly one unprocessed candidate remains, silently dropping it.
+        # That candidate is our last kept index k when every valid j > k was
+        # already suppressed by an earlier head (< k): emulate by un-keeping
+        # k unless some valid j > k has its first kept suppressor >= k.
+        cand = jnp.where(keep[:, :, None] & over, ids[:, None], Kp)
+        assign = jnp.min(cand, axis=1)                         # [B, Kp]
+        last_kept = (Kp - 1) - jnp.argmax(keep[:, ::-1], axis=1)
+        j_after = ids[None, :] > last_kept[:, None]
+        exists_late = jnp.any(
+            j_after & valid & (assign >= last_kept[:, None]), axis=1)
+        drop = keep.any(axis=1) & ~exists_late
+        keep = keep & ~(drop[:, None] & (ids[None, :] == last_kept[:, None]))
+
     if merge:
         # Greedy attribution: each suppressed box belongs to its *first* kept
         # suppressor (the head whose turn removed it from `alive`).
@@ -232,13 +248,16 @@ def anchor_nms(loc_preds, cls_preds, anchors_xywh, top_k: int = 100,
                nms_thresh: float = 0.5, class_thresh: float = 0.45,
                decode=box_ops.ssd_decode, use_variance: bool = False,
                scale: float = 1.0, use_pallas=None,
-               exact_topk=None) -> NMSResult:
+               exact_topk=None, drop_lone_survivor: bool = False) -> NMSResult:
     """SSD/RetinaNet batched NMS.
 
     loc_preds [B, D, 4] offsets; cls_preds [B, D, C] logits; anchors_xywh [D, 4].
     ``use_variance=False`` matches the reference's inference decode, which skips
     the variance scaling its own training encode applies (model/SSD.py:255-257).
     ``scale`` multiplies output boxes (e.g. img_size to emit pixels).
+    ``drop_lone_survivor=True`` reproduces the reference's exact greedy loop,
+    which breaks when one unprocessed candidate remains and drops it
+    (model/SSD.py:276-278); the default keeps it (DIVERGENCES.md).
     Reference: model/SSD.py:249-310.
     """
     anchors_xywh = jnp.asarray(anchors_xywh)
@@ -265,7 +284,8 @@ def anchor_nms(loc_preds, cls_preds, anchors_xywh, top_k: int = 100,
         kept_boxes, keep = blocked_greedy_nms(
             top_boxes, top_scores, top_labels,
             jnp.zeros_like(top_scores), nms_thresh=nms_thresh,
-            class_aware=False, merge=False, plus1=1.0)
+            class_aware=False, merge=False, plus1=1.0,
+            drop_lone_survivor=drop_lone_survivor)
     elif impl == "pallas":
         from objectdetectionpl_tpu.ops.pallas.nms_kernel import \
             pallas_greedy_nms

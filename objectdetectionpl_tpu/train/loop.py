@@ -362,8 +362,15 @@ class Trainer:
                  labels, mask))
             if ys is not None:
                 yolo_stats_acc.append(ys)
+            # The reference ranks detections by column 4 of the NMS rows in
+            # ap_per_class (accuracy.py:117-119): obj_conf for the YOLO
+            # families (model/YOLOV5.py:214), class score for SSD/RetinaNet
+            # (model/SSD.py:305 — col 4 there is a zero filler; the class
+            # score is the faithful non-degenerate choice, DIVERGENCES.md).
+            conf = (res.scores if self.cfg.model_name in ("SSD", "RetinaNet")
+                    else res.obj)
             s = metric_lib.batch_statistics(
-                res.boxes, res.scores, res.labels, res.valid,
+                res.boxes, conf, res.labels, res.valid,
                 gt_xyxy, labels, mask)
             stats.append(s)
             target_classes.extend(labels[mask].tolist())
