@@ -13,7 +13,11 @@ runs and which instructions carry the gap.
 
 This intentionally over-counts reuse (an operand read by two consumers is
 charged twice) and ignores on-chip fusion locality, so the bound is
-conservative for bandwidth-bound programs; conv/dot flops are exact.
+conservative for bandwidth-bound programs.  Conv flops are exact for
+forward convs but the shape heuristic badly over-counts gradient-filter
+convolutions (their "kernel" operand is an activation tensor); use the
+compiler's ``cost_analysis()['flops']`` for the module-level MXU bound and
+read the per-op MXU column as indicative only.
 
 Usage: python tools/roofline.py /tmp/trainstep.hlo [--peak-tf 197]
        [--peak-gbs 819] [--top 25] [--measured-ms N]
@@ -184,6 +188,10 @@ def analyze(path: str, peak_tf: float, peak_gbs: float, top: int,
 
     rows = []
     for name, shape, kind, operands, line in lines:
+        # bitcasts move no data; parameters/get-tuple-element are aliases
+        if kind in ("bitcast", "parameter", "get-tuple-element", "tuple",
+                    "constant"):
+            continue
         out_b = shape_bytes(shape)
         opd_b = 0
         for o in operands.split(","):
