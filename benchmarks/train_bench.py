@@ -47,6 +47,9 @@ def main():
     p.add_argument("--max-boxes", type=int, default=32)
     p.add_argument("--fwd-only", action="store_true",
                    help="time the train-mode forward alone (no grad)")
+    p.add_argument("--trivial-loss", action="store_true",
+                   help="replace the detection loss with sum(outputs): "
+                        "isolates model fwd+bwd+Adam from the loss segment")
     p.add_argument("--remat", default="none", choices=["none", "early", "all"],
                    help="activation rematerialization policy (YOLOv5)")
     args = p.parse_args()
@@ -60,7 +63,13 @@ def main():
     cfg = Config(optimizer="Adam", lr=1e-3, weight_decay=1e-5)
     model = build_model(args.model, args.classes, dtype=jnp.bfloat16,
                         yolov5_type=args.variant, remat=args.remat)
-    loss_fn = loss_lib.make_loss(args.model, args.classes, args.img)
+    if args.trivial_loss:
+        def loss_fn(out, labels, boxes, mask):
+            leaves = jax.tree.leaves(out)
+            return {"loss": sum(o.astype(jnp.float32).mean()
+                                for o in leaves)}
+    else:
+        loss_fn = loss_lib.make_loss(args.model, args.classes, args.img)
     tx = build_optimizer(cfg)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), args.img,
                                batch_size=1)

@@ -140,21 +140,32 @@ def max_pool(x, window: int, stride: int, pad: int = 0):
                        padding=((pad, pad), (pad, pad)))
 
 
-def space_to_depth(x, block: int = 2):
+def space_to_depth(x, block: int = 2, via: str = None):
     """NHWC space-to-depth: [B, H, W, C] -> [B, H/b, W/b, C*b*b].
 
     Functional equivalent (up to a learned-away channel permutation) of the
     reference's Reorg (model/YOLOV2.py:147-151) and Focus slicing
-    (YoloV5Utils.py:117-127).
+    (YoloV5Utils.py:117-127).  Channel blocks are ordered (row-phase,
+    col-phase, C) identically in both implementations:
+
+    - ``slices``: b*b strided phase slices + concat.  The B=128 train-step
+      HLO shows these compile to 4 separate gather fusions that each re-read
+      the full input (~1.26 GB read for a 315 MB tensor) — they do NOT fuse
+      into the consumer conv.
+    - ``transpose``: reshape -> single 6-D transpose -> reshape; one
+      read + one write pass.
     """
-    # Strided phase slices + channel concat, ordered (row-phase, col-phase, C)
-    # exactly like the reshape/transpose formulation this replaces.  The
-    # transpose version materialized an extra full-tensor copy at the v5
-    # stem (315 MB per 128x640px batch in the train-step HLO); slices fuse
-    # into the consumer conv.
-    return jnp.concatenate(
-        [x[:, i::block, j::block, :]
-         for i in range(block) for j in range(block)], axis=-1)
+    if via is None:
+        import os
+        via = os.environ.get("OBJDET_S2D", "slices")
+    if via == "slices":
+        return jnp.concatenate(
+            [x[:, i::block, j::block, :]
+             for i in range(block) for j in range(block)], axis=-1)
+    B, H, W, C = x.shape
+    t = x.reshape(B, H // block, block, W // block, block, C)
+    t = jnp.transpose(t, (0, 1, 3, 2, 4, 5))
+    return t.reshape(B, H // block, W // block, block * block * C)
 
 
 def reorg_darknet_bug(x):
