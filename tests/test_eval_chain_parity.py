@@ -112,6 +112,7 @@ def test_yolov5_verbatim_system_parity(ref_models, ref_eval):
     from objectdetectionpl_tpu.ops import metrics, nms
 
     C, S, B = 3, 128, 2
+    torch.manual_seed(1101)
     ref = ref_models.YOLOv5(classes=[str(i) for i in range(C)],
                             args=types.SimpleNamespace(
                                 model_name="YOLOv5", cls_criterion="ce_loss",
@@ -170,6 +171,7 @@ def test_ssd_verbatim_system_parity(ref_models, ref_eval):
     from objectdetectionpl_tpu.ops import metrics, nms
 
     C_ref, S, B = 4, 300, 2
+    torch.manual_seed(2101)
     ref = ref_models.SSD(classes=[str(i) for i in range(C_ref)],
                          args=types.SimpleNamespace(
                              model_name="SSD", cls_criterion="ce_loss",
