@@ -94,7 +94,12 @@ def bench_shape(B, H, Cin, Cout, k, s, iters, grad):
         def body(_, acc):
             xi = x + (acc % 2).astype(x.dtype) * 1e-3
             if grad:
-                v, _ = f(p, xi)
+                v, (gp, gx) = f(p, xi)
+                # fold the gradients into the carry so XLA cannot
+                # dead-code-eliminate the backward pass
+                v = (v + gx.astype(jnp.float32).sum()
+                     + sum(g.astype(jnp.float32).sum()
+                           for g in jax.tree.leaves(gp)))
             else:
                 v = f(p, xi)
             return acc + v
@@ -103,9 +108,12 @@ def bench_shape(B, H, Cin, Cout, k, s, iters, grad):
     x = jnp.asarray(np.random.RandomState(0).rand(B, H, H, Cin) - 0.5,
                     jnp.bfloat16)
     float(loop(params, x, iters))        # compile + warm
-    t0 = time.perf_counter()
-    float(loop(params, x, iters))
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(3):                   # min-of-3: rejects chip contention
+        t0 = time.perf_counter()
+        float(loop(params, x, iters))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():
