@@ -121,12 +121,21 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--fwd-only", action="store_true")
+    p.add_argument("--subset", action="store_true",
+                   help="only the 8 shapes carrying ~70%% of conv flops "
+                        "(remote compiles cost ~15 min per program)")
     args = p.parse_args()
     B = args.batch
 
     uniq = {}
     for shape, count in INVENTORY:
         uniq[shape] = uniq.get(shape, 0) + count
+    if args.subset:
+        keep = {(320, 12, 32, 3, 1), (320, 32, 64, 3, 2),
+                (160, 64, 128, 3, 2), (80, 64, 64, 3, 1),
+                (80, 128, 256, 3, 2), (40, 128, 128, 3, 1),
+                (40, 256, 512, 3, 2), (20, 256, 256, 3, 1)}
+        uniq = {k: v for k, v in uniq.items() if k in keep}
 
     rows = []
     for (H, Cin, Cout, k, s), count in uniq.items():
