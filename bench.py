@@ -55,9 +55,22 @@ def main():
     x0 = jnp.zeros((BATCH, IMG, IMG, 3), jnp.bfloat16)
     variables = model.init(rng, x0, train=False)
 
+    # serving optimization (exact): fold the /255 normalize into the stem
+    # conv kernel so raw uint8 feeds the net with a cast only
+    # (utils/fuse.fold_input_scale); enabled via OBJDET_FOLD_PREPROC=1.
+    fold = os.environ.get("OBJDET_FOLD_PREPROC", "0") == "1"
+    if fold:
+        from objectdetectionpl_tpu.utils.fuse import fold_input_scale
+        variables = {**variables,
+                     "params": fold_input_scale(variables["params"],
+                                                1.0 / 255.0)}
+
     def end_to_end(raw_uint8):
-        # preproc: normalize uint8 -> [0,1] bf16 (device-side)
-        images = raw_uint8.astype(jnp.bfloat16) / 255.0
+        # preproc: normalize uint8 -> [0,1] bf16 (device-side); with the
+        # fold, the scale lives in the stem kernel and only the cast remains
+        images = raw_uint8.astype(jnp.bfloat16)
+        if not fold:
+            images = images / 255.0
         out = model.apply(variables, images, train=False)
         preds = nms.decode_yolov5_predictions(
             out, anchor_lib.YOLOV5_ANCHORS, anchor_lib.YOLOV5_STRIDES,
