@@ -32,6 +32,14 @@ try:  # persistent compilation cache
 except Exception:
     pass
 
+# Measured A/B (round 4, one v5e): baseline 4000 img/s; s2d=transpose alone
+# 4017 (noise); preproc-fold alone 3732 (the uint8 cast fused into 4 strided
+# gathers re-reads the raw image 4x — regression); fold+transpose 4104
+# (+2.6%): one transpose pass does the cast once and the stem kernel carries
+# the /255.  Defaults pin the winning combination.
+os.environ.setdefault("OBJDET_S2D", "transpose")
+os.environ.setdefault("OBJDET_FOLD_PREPROC", "1")
+
 A100_PT_BASELINE_IPS = 250.0
 BATCH = 256     # sweep 256/384/512/768 -> 3974/3827/3829/3821 img/s.
                 # NOT the NMS mask: benchmarks/nms_bench.py measured the
