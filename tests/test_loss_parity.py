@@ -299,3 +299,52 @@ def test_bce_prob_saturation_safe():
     assert abs(float(v[1]) - 100.0) < 1e-6      # torch clamp parity
     g = jax.grad(lambda pp: loss_lib.bce_prob(pp, t).sum())(p)
     assert bool(jnp.isfinite(g).all())
+
+
+@pytest.mark.parametrize("model_name", ["SSD", "RetinaNet"])
+def test_anchor_loss_learnable_free_logits(model_name):
+    """Optimization sanity for the anchor-box losses (the families where
+    slow-burn matching/mining bugs hide): optimizing FREE (loc, cls) tensors
+    directly against the loss must drive localization toward zero and
+    classification strictly down.  (This is what ruled the loss out as the
+    SSD from-scratch stall cause in round 4 — the stall was Adam lr=1e-3 on
+    the no-BN VGG stack, BASELINE.md.)"""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from objectdetectionpl_tpu.ops import anchors as anchor_lib
+    from objectdetectionpl_tpu.ops import losses as loss_lib
+
+    C, S = 3, 300 if model_name == "SSD" else 128
+    loss_fn = loss_lib.make_loss(model_name, C, S)
+    rng = np.random.RandomState(0)
+    B, M = 2, 6
+    labels = rng.randint(0, C, (B, M)).astype(np.int32)
+    bx = np.stack([rng.uniform(0.2, 0.8, (B, M, 2)),
+                   rng.uniform(0.1, 0.35, (B, M, 2))], -2)
+    bx = bx.reshape(B, M, 4).astype(np.float32)
+    mask = np.zeros((B, M), bool)
+    mask[:, :3] = True
+    D = (anchor_lib.ssd_dboxes().shape[0] if model_name == "SSD"
+         else anchor_lib.retina_anchors(S).shape[0])
+    Ccls = 1 + C if model_name == "SSD" else C
+    params = {"loc": jnp.zeros((B, D, 4)), "cls": jnp.zeros((B, D, Ccls))}
+    tx = optax.adam(1e-2)
+    st = tx.init(params)
+
+    @jax.jit
+    def step(p, st):
+        def f(p):
+            m = loss_fn((p["loc"], p["cls"]), jnp.asarray(labels),
+                        jnp.asarray(bx), jnp.asarray(mask))
+            return m["loss"], m
+        (_, m), g = jax.value_and_grad(f, has_aux=True)(p)
+        up, st2 = tx.update(g, st)
+        return jax.tree.map(jnp.add, p, up), st2, m
+
+    params, st, m0 = step(params, st)
+    for _ in range(120):
+        params, st, m = step(params, st)
+    assert float(m["Localization"]) < 0.25 * float(m0["Localization"])
+    assert float(m["Classification"]) < 0.8 * float(m0["Classification"])
+    assert np.isfinite(float(m["loss"]))

@@ -171,3 +171,30 @@ def test_ssd_vgg_stack_activation_scale(rng):
     # measured: kaiming 0.072 at conv4_3 on uniform[0,1] input; lecun decays
     # a further ~2^-6.5 to ~1e-3.  0.02 separates the two regimes robustly.
     assert float(jnp.std(y)) > 0.02
+
+
+def test_fold_input_scale_exact(rng):
+    """Serving fold: conv(x/255, W) == conv(x, W/255) through the whole
+    YOLOv5 forward (utils/fuse.fold_input_scale; bench.py serving default)."""
+    from objectdetectionpl_tpu.models import build_model
+    from objectdetectionpl_tpu.utils.fuse import fold_input_scale
+
+    m = build_model("YOLOv5", 3, yolov5_type="Yolov5s")
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    a = m.apply(v, x / 255.0, train=False)
+    b = m.apply({**v, "params": fold_input_scale(v["params"], 1 / 255.0)},
+                x, train=False)
+    for ai, bi in zip(a, b):
+        np.testing.assert_allclose(np.asarray(ai), np.asarray(bi),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_space_to_depth_variants_bitequal(rng):
+    """The transpose formulation (serving default) must bit-match the
+    strided-slice formulation Focus/transplant parity was proven with."""
+    from objectdetectionpl_tpu.nn.blocks import space_to_depth
+    x = jnp.asarray(rng.rand(2, 8, 8, 3), jnp.float32)
+    a = space_to_depth(x, 2, via="slices")
+    b = space_to_depth(x, 2, via="transpose")
+    assert bool((a == b).all())
