@@ -138,23 +138,29 @@ def main():
             batch = max(batch // 4, 8)
             tbatch = max(tbatch // 4, 8)
         name = variant or model_name
+        row = {"model": name, "img": img, "batch": batch}
         try:
             ips = bench_one(model_name, variant, img, batch, classes,
                             iters=5 if args.quick else 10)
-            row = {"model": name, "img": img, "batch": batch,
-                   "images_per_sec_chip": round(ips, 1)}
-            if args.train:
+            row["images_per_sec_chip"] = round(ips, 1)
+        except Exception as e:
+            row["images_per_sec_chip"] = f"failed: {type(e).__name__}"
+            print(json.dumps({"model": name, "infer_error": str(e)[:120]}),
+                  flush=True)
+        if args.train:
+            try:
                 tips = bench_train_one(model_name, variant, img, tbatch,
                                        classes, steps=3 if args.quick else 6)
                 row.update(train_batch=tbatch,
                            train_images_per_sec_chip=round(tips, 1))
-            rows.append(row)
-            print(json.dumps(row), flush=True)
-        except Exception as e:
-            rows.append({"model": name, "img": img, "batch": batch,
-                         "images_per_sec_chip": f"failed: {type(e).__name__}"})
-            print(json.dumps({"model": name, "error": str(e)[:120]}),
-                  flush=True)
+            except Exception as e:
+                row.update(train_batch=tbatch,
+                           train_images_per_sec_chip=f"failed: "
+                                                     f"{type(e).__name__}")
+                print(json.dumps({"model": name,
+                                  "train_error": str(e)[:120]}), flush=True)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "RESULTS.md")
