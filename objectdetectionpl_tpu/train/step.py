@@ -153,6 +153,13 @@ def make_postprocess(model_name: str, num_classes: int, img_size: int,
     from objectdetectionpl_tpu.ops import boxes as box_ops
     from objectdetectionpl_tpu.ops import nms
 
+    # Anchor families: the reference hard-codes class_thresh=0.45
+    # (model/SSD.py:249); a configured conf_thres below that lowers the
+    # eval threshold too (a model that has not yet saturated its confidences
+    # would otherwise emit zero detections and mAP 0 no matter how well it
+    # localizes — the synthetic learning runs evaluate at 0.05).
+    anchor_class_thresh = min(0.45, conf_thres)
+
     if model_name == "SSD":
         dboxes = anchor_lib.ssd_dboxes()
 
@@ -160,7 +167,8 @@ def make_postprocess(model_name: str, num_classes: int, img_size: int,
             loc, cls = outputs
             # drop the explicit background channel for scoring
             return nms.anchor_nms(loc, cls[..., 1:], dboxes,
-                                  nms_thresh=0.5, class_thresh=0.45,
+                                  nms_thresh=0.5,
+                                  class_thresh=anchor_class_thresh,
                                   scale=float(img_size),
                                   exact_topk=exact_topk)
         return post
@@ -172,7 +180,8 @@ def make_postprocess(model_name: str, num_classes: int, img_size: int,
             loc, cls = outputs
             return nms.anchor_nms(loc, cls, anchors,
                                   decode=box_ops.retina_decode,
-                                  nms_thresh=0.5, class_thresh=0.45,
+                                  nms_thresh=0.5,
+                                  class_thresh=anchor_class_thresh,
                                   scale=1.0, exact_topk=exact_topk)
         return post
 
