@@ -91,6 +91,31 @@ def softmax_focal(logits, y, num_classes: int, alpha: float = 0.25,
     return alpha * (-t * jnp.log(p)) * (1.0 - p) ** gamma
 
 
+def sigmoid_focal(logits, y, num_classes: int, alpha: float = 0.25,
+                  gamma: float = 2.0):
+    """Standard RetinaNet focal loss (Lin et al. 2017): per-class sigmoid
+    BCE with focal modulation.  logits [N, C]; y [N] in {0 (background),
+    1..C}; background rows get all-zero targets that actively push every
+    class logit DOWN.
+
+    The reference's ``focal_loss`` instead computes ``-t * log(softmax)``
+    (losses.py:317-349), so its zero-target background rows contribute zero
+    loss AND zero gradient — no negative pressure exists anywhere, and
+    training collapses to saturated 'everything is confidently class 0'
+    (measured: round-4 synthetic RetinaNet run, BASELINE.md; DIVERGENCES.md
+    #26).  That faithful variant lives in ``softmax_focal``.
+    Returns [N, C] elementwise (caller reduces).
+    """
+    t = jax.nn.one_hot(y, num_classes + 1)[..., 1:]
+    p = jax.nn.sigmoid(logits)
+    # saturation-safe BCE-with-logits
+    bce = (jnp.maximum(logits, 0.0) - logits * t
+           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    pt = p * t + (1.0 - p) * (1.0 - t)
+    w = alpha * t + (1.0 - alpha) * (1.0 - t)
+    return w * (1.0 - pt) ** gamma * bce
+
+
 def _masked_mean(x, m):
     """Mean of x over mask m; 0 if the mask is empty (reference would NaN)."""
     m = m.astype(x.dtype)
@@ -330,10 +355,13 @@ def ssd_loss(outputs, labels, boxes, mask, default_xywh, num_classes: int,
 
 def retinanet_loss(outputs, labels, boxes, mask, anchors_xywh,
                    num_classes: int, img_size: float,
-                   coord_criterion=smooth_l1):
+                   coord_criterion=smooth_l1, focal: str = "softmax"):
     """RetinaNet focal loss + SmoothL1, normalized by num positives.
 
     outputs: (loc [B, A, 4], cls [B, A, C]).
+    ``focal="softmax"`` is the reference-faithful variant (no gradient on
+    background rows — degenerate for real training, see ``sigmoid_focal``);
+    the production factory (``make_loss``) defaults to ``"sigmoid"``.
     Reference: LightningFunc/losses.py:351-473.
     """
     loc_preds, cls_preds = outputs
@@ -350,7 +378,8 @@ def retinanet_loss(outputs, labels, boxes, mask, anchors_xywh,
     loc_loss = jnp.sum(loc_elem * pos)
 
     not_ignored = match.cls_targets > -1
-    cls_elem = softmax_focal(
+    focal_fn = sigmoid_focal if focal == "sigmoid" else softmax_focal
+    cls_elem = focal_fn(
         cls_preds.reshape(-1, num_classes),
         jnp.clip(match.cls_targets, 0).reshape(-1), num_classes).sum(-1)
     cls_loss = jnp.sum(cls_elem * not_ignored.reshape(-1))
@@ -416,6 +445,7 @@ def make_loss(model_name: str, num_classes: int, img_size: int,
                                  coord_criterion=coord, **kw)
     if model_name == "RetinaNet":
         anc = anchor_lib.retina_anchors(img_size) if anchors is None else anchors
+        kw.setdefault("focal", "sigmoid")   # see sigmoid_focal docstring
         return functools.partial(retinanet_loss, anchors_xywh=anc,
                                  num_classes=num_classes, img_size=img_size,
                                  coord_criterion=coord, **kw)
