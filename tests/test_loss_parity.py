@@ -348,3 +348,17 @@ def test_anchor_loss_learnable_free_logits(model_name):
     assert float(m["Localization"]) < 0.25 * float(m0["Localization"])
     assert float(m["Classification"]) < 0.8 * float(m0["Classification"])
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sigmoid_focal_background_pressure():
+    """Background (all-zero-target) rows must produce NONZERO gradient
+    pushing logits down — the reference softmax focal's zero-gradient
+    backgrounds are what collapsed RetinaNet training (DIVERGENCES #26)."""
+    import jax
+    import jax.numpy as jnp
+    x = jnp.ones((4, 3)) * 2.0                  # confident logits
+    y = jnp.zeros((4,), jnp.int32)              # all background
+    g_sig = jax.grad(lambda x: loss_lib.sigmoid_focal(x, y, 3).sum())(x)
+    g_soft = jax.grad(lambda x: loss_lib.softmax_focal(x, y, 3).sum())(x)
+    assert float(jnp.abs(g_sig).min()) > 0.0    # pressure on every logit
+    assert float(jnp.abs(g_soft).max()) == 0.0  # the reference quirk
