@@ -12,12 +12,34 @@ import jax
 import jax.numpy as jnp
 
 
-def build_inference_fn(model, variables, postprocess):
-    """uint8 [B, S, S, 3] -> NMSResult, the full serving graph."""
+def build_inference_fn(model, variables, postprocess, fold_preproc=None):
+    """uint8 [B, S, S, 3] -> NMSResult, the full serving graph.
+
+    ``fold_preproc`` (default: on for models with a known stem path) bakes
+    the /255 normalize into the stem conv kernel (utils/fuse.
+    fold_input_scale) — exact, and measured +8% end-to-end on YOLOv5s-640
+    together with the transpose space-to-depth (BASELINE.md round 4).
+    """
+    from objectdetectionpl_tpu.utils.fuse import fold_input_scale
+
+    folded = None
+    if fold_preproc is None or fold_preproc:
+        try:
+            folded = {**variables,
+                      "params": fold_input_scale(variables["params"],
+                                                 1.0 / 255.0)}
+        except (KeyError, TypeError):
+            if fold_preproc:       # explicitly requested but no known stem
+                raise
+            folded = None          # auto mode: fall back to dividing
 
     def fn(raw_uint8):
-        images = raw_uint8.astype(model.dtype) / 255.0
-        out = model.apply(variables, images, train=False)
+        if folded is not None:
+            images = raw_uint8.astype(model.dtype)
+            out = model.apply(folded, images, train=False)
+        else:
+            images = raw_uint8.astype(model.dtype) / 255.0
+            out = model.apply(variables, images, train=False)
         # plain tuple (boxes, obj, scores, labels, valid): jax.export cannot
         # serialize custom NamedTuple pytree nodes
         return tuple(postprocess(out))
