@@ -158,6 +158,9 @@ def space_to_depth(x, block: int = 2, via: str = None):
     if via is None:
         import os
         via = os.environ.get("OBJDET_S2D", "slices")
+    if via not in ("slices", "transpose"):
+        raise ValueError(f"space_to_depth via={via!r}: expected 'slices' or "
+                         "'transpose' (OBJDET_S2D is read at trace time)")
     if via == "slices":
         return jnp.concatenate(
             [x[:, i::block, j::block, :]

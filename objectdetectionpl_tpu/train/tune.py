@@ -17,14 +17,24 @@ import numpy as np
 
 
 def auto_lr_find(trainer, num_steps: int = 25, min_lr: float = 1e-7,
-                 max_lr: float = 1.0) -> float:
+                 max_lr: float = 1.0, deadline_s: float = 300.0) -> float:
     """Exponential LR sweep on throwaway state; returns the suggested LR.
 
     Suggestion rule (Lightning-style): the LR one decade below the point of
     steepest smoothed loss descent, clipped to the sweep range.
+
+    ``deadline_s`` bounds the sweep's wall clock: the loop stops issuing new
+    steps once the budget is spent and suggests from whatever it has.  On
+    this environment a TPU run must never be killed mid-execution (the chip
+    lease strands ~1 h, CLAUDE.md) — so the bound is a cooperative
+    stop-issuing check between steps, never a mid-step interrupt, mirroring
+    how ``auto_scale_batch_size`` was made lease-safe (AOT-only).
     """
+    import time
+
     from objectdetectionpl_tpu.train import optim
 
+    t0 = time.monotonic()
     lrs = np.geomspace(min_lr, max_lr, num_steps)
     import jax.numpy as jnp
     # true buffer copies: train_step donates its input state
@@ -35,6 +45,8 @@ def auto_lr_find(trainer, num_steps: int = 25, min_lr: float = 1e-7,
 
     micro = []
     for lr in lrs:
+        if time.monotonic() - t0 > deadline_s:
+            break             # budget spent: suggest from what we have
         optim.set_learning_rate(sweep_state.opt_state, float(lr))
         while len(micro) < cfg.accumulate_grad_batches:
             try:
@@ -62,14 +74,23 @@ def auto_lr_find(trainer, num_steps: int = 25, min_lr: float = 1e-7,
 
 
 def _device_bytes_limit() -> float:
-    """Per-device memory budget in bytes, or +inf when unknown (CPU)."""
+    """Per-device memory budget in bytes.
+
+    Backends with no reported ``bytes_limit`` (CPU) fall back to the host's
+    currently-available RAM — without this, every compilable candidate would
+    "fit" and power scaling would always return start*2^(max_trials-1)
+    (ADVICE r4)."""
     try:
         stats = jax.local_devices()[0].memory_stats()
         if stats and stats.get("bytes_limit"):
             return float(stats["bytes_limit"])
     except Exception:
         pass
-    return float("inf")
+    try:
+        import psutil
+        return float(psutil.virtual_memory().available)
+    except Exception:
+        return float("inf")
 
 
 def batch_fits(trainer, bs: int, headroom: float = 0.9) -> bool:
@@ -86,8 +107,14 @@ def batch_fits(trainer, bs: int, headroom: float = 0.9) -> bool:
             sds((1, bs, M), np.bool_))
     try:
         compiled = trainer.train_step.lower(*args).compile()
-    except Exception:
-        return False          # compiler itself rejected (e.g. RESOURCE_EXHAUSTED)
+    except Exception as e:    # only resource failures mean "does not fit";
+        msg = f"{type(e).__name__}: {e}"
+        if ("RESOURCE_EXHAUSTED" in msg or "OOM" in msg.upper()
+                or "out of memory" in msg.lower()
+                or "exceeds the limit" in msg
+                or "Allocat" in msg):
+            return False
+        raise                 # programming errors must propagate (ADVICE r4)
     try:
         mem = compiled.memory_analysis()
         need = (mem.argument_size_in_bytes + mem.temp_size_in_bytes

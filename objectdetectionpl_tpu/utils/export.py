@@ -35,8 +35,24 @@ def build_inference_fn(model, variables, postprocess, fold_preproc=None):
 
     def fn(raw_uint8):
         if folded is not None:
-            images = raw_uint8.astype(model.dtype)
-            out = model.apply(folded, images, train=False)
+            # The fold is only a win together with the transpose
+            # space-to-depth: fold + 'slices' measured 3732 img/s vs 4000
+            # baseline (the uint8 cast fuses into 4 strided gathers that
+            # re-read the raw image 4x), fold + transpose 4104 (BASELINE.md
+            # round 4).  space_to_depth resolves OBJDET_S2D at trace time,
+            # which is exactly now — force the winning combination for the
+            # traced graph, then restore.
+            import os
+            prev = os.environ.get("OBJDET_S2D")
+            os.environ["OBJDET_S2D"] = "transpose"
+            try:
+                images = raw_uint8.astype(model.dtype)
+                out = model.apply(folded, images, train=False)
+            finally:
+                if prev is None:
+                    os.environ.pop("OBJDET_S2D", None)
+                else:
+                    os.environ["OBJDET_S2D"] = prev
         else:
             images = raw_uint8.astype(model.dtype) / 255.0
             out = model.apply(variables, images, train=False)

@@ -77,8 +77,6 @@ def conv_flops(line: str, defs: dict) -> float:
     kshape = defs.get(ops[1], "")
     kdims, _ = shape_elems(kshape)
     dnums = re.search(r"dim_labels=(\S+?)[ ,]", line)
-    feature_group = re.search(r"feature_group_count=(\d+)", line)
-    fg = int(feature_group.group(1)) if feature_group else 1
     if not kdims:
         return 0.0
     # dim_labels like b01f_01io->b01f: kernel spatial dims are the '01',
@@ -94,7 +92,9 @@ def conv_flops(line: str, defs: dict) -> float:
                 cin = d
     else:  # default io01 fallback
         cin, k_spatial = kdims[0], kdims[2] * kdims[3]
-    return 2.0 * out_elems * cin * k_spatial / fg * fg  # per-group cin already
+    # NB: the kernel's 'i' dimension is already per-group Cin, so no division
+    # by feature_group_count is needed here.
+    return 2.0 * out_elems * cin * k_spatial
 
 
 def dot_flops(line: str, defs: dict) -> float:
