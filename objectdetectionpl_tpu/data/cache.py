@@ -116,6 +116,34 @@ class PackedCache:
     def __len__(self):
         return self.meta["n"]
 
+    def willneed(self, idx) -> None:
+        """Kernel read-ahead for the rows in ``idx`` (madvise WILLNEED).
+
+        The cold-cache epoch is page-fault/disk-bound (~450 img/s measured
+        round 4 vs the 795 img/s device demand, BASELINE.md): the gather in
+        :meth:`batch` faults each 4 KB page in on demand, serially.  Advising
+        the *next* batches' rows while the device chews on the current batch
+        turns those synchronous faults into overlapped disk read-ahead.
+        No-op (never an error) where madvise is unavailable.
+        """
+        import mmap
+        base = self.images.base
+        if not (isinstance(base, mmap.mmap) and hasattr(base, "madvise")
+                and hasattr(mmap, "MADV_WILLNEED")):
+            return
+        S = self.meta["img_size"]
+        row = S * S * 3
+        page = mmap.PAGESIZE
+        total = len(base)
+        for i in np.asarray(idx).ravel():
+            off = (int(i) * row // page) * page          # page-align down
+            ln = min(row + page, total - off)
+            if ln > 0:
+                try:
+                    base.madvise(mmap.MADV_WILLNEED, off, ln)
+                except (OSError, ValueError):  # pragma: no cover
+                    return
+
     def batch(self, idx: np.ndarray, max_boxes: int):
         """Gather a padded uint8 batch for the given index array."""
         from objectdetectionpl_tpu.data.types import Batch, pad_targets

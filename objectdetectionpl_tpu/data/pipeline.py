@@ -60,7 +60,8 @@ class Loader:
                  indices: Optional[Sequence[int]] = None,
                  drop_last: bool = True, limit_batches: Optional[int] = None,
                  letterbox: bool = False, num_shards: int = 1,
-                 shard_id: int = 0, cache_dir: Optional[str] = None):
+                 shard_id: int = 0, cache_dir: Optional[str] = None,
+                 read_ahead_batches: int = 32):
         self.parser = parser
         self.img_size = img_size
         self.batch_size = batch_size
@@ -85,6 +86,7 @@ class Loader:
         # device).  The 1-core host cannot otherwise keep up with the v5e
         # (benchmarks/host_pipeline_bench.py).
         self.cache = None
+        self.read_ahead_batches = max(int(read_ahead_batches), 0)
         if cache_dir:
             from objectdetectionpl_tpu.data import cache as cache_lib
             self.cache = cache_lib.maybe_open(cache_dir, len(parser),
@@ -140,8 +142,19 @@ class Loader:
 
         n_batches = len(self)
         if self.cache is not None:
+            # Cold-page read-ahead: advise the next ``ra`` batches' rows
+            # before gathering the current one, so the kernel pulls upcoming
+            # pages from disk while the device consumes this batch
+            # (cache.PackedCache.willneed; closes the 450-vs-795 img/s
+            # first-epoch gap, BASELINE.md round 5).
+            bs, ra = self.batch_size, self.read_ahead_batches
+            if ra:
+                self.cache.willneed(order[:ra * bs])
             for b in range(n_batches):
-                idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                idx = order[b * bs:(b + 1) * bs]
+                if ra:
+                    self.cache.willneed(
+                        order[(b + ra) * bs:(b + ra + 1) * bs])
                 yield self.cache.batch(idx, self.max_boxes)
             return
 

@@ -75,6 +75,7 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
@@ -82,7 +83,12 @@ class BatchNorm(nn.Module):
                                 lambda: jnp.zeros((C,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((C,), jnp.float32))
-        if self.use_running_average:
+        # Benchmark-only knob (read at trace time, like OBJDET_S2D): force
+        # running-average statistics in train mode to isolate the cost of the
+        # batch-moment reductions + their backward in a train-step A/B.
+        # NEVER a production setting — it changes training semantics.
+        if self.use_running_average or os.environ.get(
+                "OBJDET_BN_FROZEN", "0") == "1":
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
@@ -131,7 +137,12 @@ class ConvBN(nn.Module):
         if self.use_bn:
             x = BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, dtype=self.dtype)(x)
-        return ACTIVATIONS[self.act](x)
+        import os
+        # Benchmark-only knob (trace-time, cf. OBJDET_BN_FROZEN): swap every
+        # activation for a cheaper one to bound the VPU/elementwise share of
+        # a train step.  Never a production setting.
+        act = os.environ.get("OBJDET_ACT_OVERRIDE", self.act)
+        return ACTIVATIONS[act](x)
 
 
 def max_pool(x, window: int, stride: int, pad: int = 0):

@@ -8,7 +8,13 @@ MXU efficiency.  Summing count-weighted rows approximates the whole model
 and names the layers that carry the measured-vs-ideal gap (VERDICT r3
 items 1 and 7).
 
-Usage: python tools/layer_bench.py [--batch 128] [--iters 20] [--fwd-only]
+ROUND-5 CORRECTION: the round-4 runs used --iters 20, so every row carried
+the ~30 ms tunnel dispatch+fetch round trip / 20 = ~1.5 ms of floor — the
+source of the "9-22% MFU" table and its "~2.5 ms isolated floor" caveat in
+BASELINE.md.  At --iters 200 the same shapes measure 50-75% MFU: XLA's conv
+codegen was never the training bottleneck.  Default raised accordingly.
+
+Usage: python tools/layer_bench.py [--batch 128] [--iters 200] [--fwd-only]
 """
 
 from __future__ import annotations
@@ -119,7 +125,7 @@ def bench_shape(B, H, Cin, Cout, k, s, iters, grad):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=200)
     p.add_argument("--fwd-only", action="store_true")
     p.add_argument("--subset", action="store_true",
                    help="only the 8 shapes carrying ~70%% of conv flops "
