@@ -87,6 +87,11 @@ class Config:
                                       # steps (1 forces a device sync per step)
     prefetch_batches: int = 2         # host->device input double buffering
     v3_double_stride: bool = False    # bug-for-bug ref YOLOv3 anchor scaling
+    ssd_bn: bool = False              # BN-VGG backbone for SSD (vgg16_bn
+                                      # layout) — from-scratch trainability;
+                                      # the reference always starts from
+                                      # pretrained VGG (model/SSD.py:46) and
+                                      # never exercises this. DIVERGENCES #27.
     conf_thres: float = 0.5           # NMS confidence threshold (YOLO families)
     nms_thres: float = 0.4            # NMS IoU threshold (YOLO families)
     nms_top_k: int = 300              # NMS candidate pool

@@ -32,14 +32,19 @@ def default_img_size(model_name: str) -> int:
 
 
 def build_model(model_name: str, num_classes: int, dtype: Any = jnp.float32,
-                yolov5_type: str = "Yolov5s", remat: str = "none"):
+                yolov5_type: str = "Yolov5s", remat: str = "none",
+                ssd_bn: bool = False):
     """Instantiate a detector module by config name.
 
     ``remat``: activation rematerialization policy for models that support it
     (currently YOLOv5: "none" | "early" | "all"); ignored elsewhere.
+    ``ssd_bn``: BN-VGG backbone for SSD (flagged divergence #27); ignored
+    elsewhere.
     """
     cls, _ = MODELS[model_name]
     if model_name == "YOLOv5":
         return cls(num_classes=num_classes, variant=yolov5_type, dtype=dtype,
                    remat=remat)
+    if model_name == "SSD":
+        return cls(num_classes=num_classes, dtype=dtype, use_bn=ssd_bn)
     return cls(num_classes=num_classes, dtype=dtype)

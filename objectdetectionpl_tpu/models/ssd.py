@@ -41,6 +41,7 @@ def _ceil_pool(x):
 class _VGGStack(nn.Module):
     cfg: tuple
     dtype: jnp.dtype = jnp.float32
+    use_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -61,7 +62,7 @@ class _VGGStack(nn.Module):
             elif spec == "M311":
                 x = max_pool(x, 3, 1, 1)
             else:
-                x = ConvBN(spec, 3, act="relu", use_bn=False,
+                x = ConvBN(spec, 3, act="relu", use_bn=self.use_bn,
                            dtype=self.dtype, kernel_init=kaiming)(x, train)
         return x
 
@@ -69,6 +70,16 @@ class _VGGStack(nn.Module):
 class SSD(nn.Module):
     num_classes: int                       # foreground classes C
     dtype: jnp.dtype = jnp.float32
+    use_bn: bool = False                   # BN-VGG backbone (vgg16_bn layout).
+                                           # Flagged divergence (#27): the
+                                           # reference trains SSD only from
+                                           # pretrained no-BN VGG weights
+                                           # (model/SSD.py:46); from scratch
+                                           # that stack memorizes without
+                                           # generalizing (BASELINE.md r4).
+                                           # BN on the 13 feature convs is the
+                                           # standard torchvision vgg16_bn
+                                           # remedy; extras/heads unchanged.
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -82,9 +93,11 @@ class SSD(nn.Module):
                                   dtype=self.dtype, kernel_init=xavier)
 
         feats = []
-        x = _VGGStack(tuple(_VGG_F1), dtype=self.dtype)(x, train)
+        x = _VGGStack(tuple(_VGG_F1), dtype=self.dtype,
+                      use_bn=self.use_bn)(x, train)
         feats.append(x)                                        # 38x38x512
-        x = _VGGStack(tuple(_VGG_BASE1), dtype=self.dtype)(x, train)
+        x = _VGGStack(tuple(_VGG_BASE1), dtype=self.dtype,
+                      use_bn=self.use_bn)(x, train)
         x = relu_conv(1024, 3, d=3)(x, train)                  # dilated conv6
         x = relu_conv(1024, 1)(x, train)                       # conv7
         feats.append(x)                                        # 19x19x1024

@@ -52,7 +52,7 @@ class Trainer:
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.model = build_model(cfg.model_name, self.num_classes,
                                  dtype=dtype, yolov5_type=cfg.type,
-                                 remat=cfg.remat)
+                                 remat=cfg.remat, ssd_bn=cfg.ssd_bn)
         self.loss_fn = loss_lib.make_loss(
             cfg.model_name, self.num_classes, self.img_size,
             coord_criterion=cfg.coord_criterion,

@@ -66,6 +66,23 @@ def test_ssd_contract():
     assert cls.shape == (1, 8732, 1 + C)
 
 
+def test_ssd_bn_variant():
+    """ssd_bn (DIVERGENCES #27): same output contract, BN stats on the 13
+    VGG feature convs only (extras/heads stay BN-free like the reference)."""
+    m = build_model("SSD", C, ssd_bn=True)
+    x = jax.ShapeDtypeStruct((1, 300, 300, 3), jnp.float32)
+    variables = jax.eval_shape(lambda r, xx: m.init(r, xx, train=False),
+                               jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables
+    n_bn = sum(1 for p in jax.tree_util.tree_leaves_with_path(
+        variables["batch_stats"]) if "mean" in str(p[0]))
+    assert n_bn == 13       # VGG16's 13 feature convs (10 in F1 + 3 in BASE1)
+    loc, cls = jax.eval_shape(
+        lambda v, xx: m.apply(v, xx, train=False), variables, x)
+    assert loc.shape == (1, 8732, 4)
+    assert cls.shape == (1, 8732, 1 + C)
+
+
 def test_retinanet_contract():
     out = _shapes(build_model("RetinaNet", C), 256)
     loc, cls = out
