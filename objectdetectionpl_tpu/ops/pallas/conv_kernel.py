@@ -66,6 +66,32 @@ def _pick_group(B: int, per_image_bytes: int,
     return g
 
 
+_PATCH_BUDGET = 6 * 1024 * 1024   # scoped-VMEM share for one strip's patches
+
+
+def _pick_strips(H: int, W: int, C: int, budget: int = None) -> int:
+    """Split H into `ns` row strips so one strip's [Sh*W, 9C] bf16 patch temp
+    fits the scoped-VMEM budget (the 320x320 stem's full-image patch temp is
+    22 MB — over the 16 MB limit on its own)."""
+    if budget is None:
+        budget = _PATCH_BUDGET
+    ns = 1
+    while ns < H and (H // ns) * W * 9 * C * 2 > budget:
+        ns += 1
+        while H % ns:
+            ns += 1
+    return ns
+
+
+def _to_strips(xp, ns: int):
+    """[B, H+2, W+2, C] padded input -> [B*ns, Sh+2, W+2, C] overlapping row
+    strips (1-row halo each side); an HBM copy of ~(1 + 2/Sh) x the input."""
+    B, Hp2, Wp2, C = xp.shape
+    Sh = (Hp2 - 2) // ns
+    strips = jnp.stack([xp[:, i * Sh:i * Sh + Sh + 2] for i in range(ns)], 1)
+    return strips.reshape(B * ns, Sh + 2, Wp2, C)
+
+
 # ---------------------------------------------------------------- forward
 
 
@@ -100,16 +126,21 @@ def conv3x3_s1(x, w, *, group: int = None, interpret: bool = None):
     Co = w.shape[-1]
     w = w.astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ns = _pick_strips(H, W, C)
+    if ns > 1:
+        xp = _to_strips(xp, ns)
+        B, H = B * ns, H // ns
     if group is None:
-        # blocked buffers only; the per-image [H*W, 9C] patch temp (live one
-        # at a time) comes out of the remaining VMEM pool
-        per_img = 2 * ((H + 2) * (W + 2) * C + H * W * Co)
-        group = _pick_group(B, per_img, budget=4 * 1024 * 1024)
+        # per-image VMEM: blocked in/out buffers (double-buffered by Mosaic)
+        # PLUS the in-kernel [H*W, 9C] patch temp — omitting the patch temp
+        # OOMed scoped vmem at 80x80x64 (16.35M > 16M limit, measured).
+        per_img = 2 * ((H + 2) * (W + 2) * C + H * W * Co + H * W * 9 * C)
+        group = _pick_group(B, per_img, budget=8 * 1024 * 1024)
     G = group
     kern = functools.partial(_fwd_kernel, G=G, H=H, W=W, C=C, Co=Co,
                              out_dtype=x.dtype)
     flops = 2 * B * H * W * C * Co * 9
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(B // G,),
         in_specs=[
@@ -124,6 +155,9 @@ def conv3x3_s1(x, w, *, group: int = None, interpret: bool = None):
             transcendentals=0),
         interpret=interpret,
     )(xp, w.reshape(9 * C, Co))
+    if ns > 1:
+        out = out.reshape(B // ns, ns * H, W, Co)
+    return out
 
 
 # ---------------------------------------------------------------- wgrad
@@ -157,8 +191,14 @@ def conv3x3_s1_wgrad(x, g, *, group: int = None, interpret: bool = None):
     B, H, W, C = x.shape
     Co = g.shape[-1]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ns = _pick_strips(H, W, C)
+    if ns > 1:
+        xp = _to_strips(xp, ns)
+        g = g.reshape(B * ns, H // ns, W, Co)
+        B, H = B * ns, H // ns
     if group is None:
-        per_img = 2 * ((H + 2) * (W + 2) * C + H * W * Co)
+        per_img = 2 * ((H + 2) * (W + 2) * C + H * W * Co
+                       + H * W * 9 * C)
         group = _pick_group(B, per_img)
     G = group
     kern = functools.partial(_wgrad_kernel, G=G, H=H, W=W, C=C, Co=Co)

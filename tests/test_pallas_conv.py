@@ -78,3 +78,24 @@ def test_bf16_inputs_f32_accum():
     want = xla_conv(x.astype(jnp.float32), w.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
                                np.asarray(want), rtol=5e-2, atol=5e-2)
+
+
+def test_row_strip_split_matches_xla(monkeypatch):
+    """Large-spatial inputs split into halo'd row strips (the 320x320 stem's
+    full-image patch temp is 22 MB > the 16 MB scoped-VMEM limit).  Force a
+    tiny budget so a CPU-sized input exercises the strip path, fwd + vjp."""
+    from objectdetectionpl_tpu.ops.pallas import conv_kernel as ck
+    monkeypatch.setattr(ck, "_PATCH_BUDGET", 4096)
+    B, H, C, Co = 2, 12, 4, 8
+    assert ck._pick_strips(H, H, C) > 1
+    x = jax.random.normal(jax.random.PRNGKey(2), (B, H, H, C), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(3), (3, 3, C, Co),
+                          jnp.float32) * 0.1
+    got = ck.conv3x3_s1(x, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(xla_conv(x, w)),
+                               rtol=1e-5, atol=1e-5)
+    g = jax.random.normal(jax.random.PRNGKey(4), (B, H, H, Co), jnp.float32)
+    dw = ck.conv3x3_s1_wgrad(x, g, interpret=True)
+    _, vjp = jax.vjp(lambda w_: xla_conv(x, w_), w)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(vjp(g)[0]),
+                               rtol=1e-4, atol=1e-4)

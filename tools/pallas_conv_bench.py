@@ -42,10 +42,13 @@ PEAK_BW = 819e9
 
 
 def xla_conv(x, w):
+    # pure-bf16 signature so the VJP's transposed convs keep matching dtypes
+    # (preferred_element_type=f32 leaks an f32 cotangent into the transpose
+    # rule and conv_general_dilated rejects mixed dtypes); TPU bf16 convs
+    # accumulate in f32 inside the MXU regardless.
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def bench(fn, w, x, iters, grad):
