@@ -73,6 +73,10 @@ def main():
                      "params": fold_input_scale(variables["params"],
                                                 1.0 / 255.0)}
 
+    # serving-tail A/B (round 5): fused score->top-k->gather->decode
+    # (decode_select_yolov5) vs the dense decode of all 25.2k rows/img.
+    prefilter = os.environ.get("OBJDET_PREFILTER", "1") == "1"
+
     def end_to_end(raw_uint8):
         # preproc: normalize uint8 -> [0,1] bf16 (device-side); with the
         # fold, the scale lives in the stem kernel and only the cast remains
@@ -80,9 +84,14 @@ def main():
         if not fold:
             images = images / 255.0
         out = model.apply(variables, images, train=False)
-        preds = nms.decode_yolov5_predictions(
-            out, anchor_lib.YOLOV5_ANCHORS, anchor_lib.YOLOV5_STRIDES,
-            num_classes)
+        if prefilter:
+            preds = nms.decode_select_yolov5(
+                out, anchor_lib.YOLOV5_ANCHORS, anchor_lib.YOLOV5_STRIDES,
+                num_classes, top_k=300, conf_thres=0.5)
+        else:
+            preds = nms.decode_yolov5_predictions(
+                out, anchor_lib.YOLOV5_ANCHORS, anchor_lib.YOLOV5_STRIDES,
+                num_classes)
         return nms.yolo_nms(preds, conf_thres=0.5, nms_thres=0.4, top_k=300)
 
     # Measurement methodology: through the remote-device tunnel,

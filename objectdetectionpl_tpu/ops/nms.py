@@ -355,6 +355,58 @@ def decode_yolov5_predictions(outputs, anchors_px, strides, num_classes: int):
     return jnp.concatenate(parts, axis=1)
 
 
+def decode_select_yolov5(outputs, anchors_px, strides, num_classes: int,
+                         top_k: int = 300, conf_thres: float = 0.5,
+                         exact_topk=None):
+    """Fused score -> top-k -> gather -> decode: the serving-tail form of
+    :func:`decode_yolov5_predictions`.
+
+    The dense decode sigmoids and materializes all ~25k rows per image and
+    NMS re-reads them to rank and select ~300 — three full HBM passes plus
+    96M sigmoids per 256-batch.  This computes the ranking score directly on
+    the raw head maps (monotonicity: ``max(sigmoid(z)) == sigmoid(max(z))``,
+    so obj/cls scores need two sigmoids per row, not 15), selects ``top_k``
+    globally, gathers only those raw rows, and decodes them exactly
+    (grid/anchor recovered from the flat index).  Bit-parity with the dense
+    chain: selection uses the same score and threshold as
+    :func:`yolo_nms`'s ranking, under-full batches gather rows that fail the
+    obj threshold downstream, and the decode math is identical
+    (tests/test_nms.py::test_decode_select_matches_dense_chain).
+
+    Returns decoded candidates [B, top_k, 5+C] — feed to :func:`yolo_nms`.
+    """
+    B = outputs[0].shape[0]
+    scores = []
+    for x in outputs:
+        obj = jax.nn.sigmoid(x[..., 4])
+        cls = jax.nn.sigmoid(jnp.max(x[..., 5:], axis=-1))
+        s = jnp.where(obj >= conf_thres, obj * cls, NEG_INF)
+        scores.append(s.reshape(B, -1))
+    score = jnp.concatenate(scores, axis=1)
+    _, idx = _select_top_k(score, top_k, exact_topk)        # [B, K] flat
+
+    out = jnp.zeros((B, top_k, 5 + num_classes), outputs[0].dtype)
+    offset = 0
+    for x, anc_px, stride in zip(outputs, anchors_px, strides):
+        _, A, g, _, ch = x.shape
+        n = A * g * g
+        local = idx - offset
+        in_scale = (local >= 0) & (local < n)
+        li = jnp.clip(local, 0, n - 1)
+        rows = jnp.take_along_axis(x.reshape(B, n, ch), li[..., None], axis=1)
+        a = li // (g * g)
+        rem = li % (g * g)
+        gxy = jnp.stack([rem % g, rem // g], axis=-1).astype(rows.dtype)
+        anc = jnp.asarray(anc_px, rows.dtype)[a]            # [B, K, 2]
+        sig = jax.nn.sigmoid(rows)
+        xy = (sig[..., :2] * 2.0 - 0.5 + gxy) * stride
+        wh = (sig[..., 2:4] * 2.0) ** 2 * anc
+        dec = jnp.concatenate([xy, wh, sig[..., 4:]], axis=-1)
+        out = jnp.where(in_scale[..., None], dec, out)
+        offset += n
+    return out
+
+
 def yolo_nms(predictions, conf_thres: float = 0.5, nms_thres: float = 0.4,
              top_k: int = 300, use_pallas=None, exact_topk=None) -> NMSResult:
     """Batched YOLO weighted-merge NMS over decoded predictions [B, N, 5+C].

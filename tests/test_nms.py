@@ -119,3 +119,43 @@ def test_anchor_nms_basic(rng):
     v = np.asarray(res.valid[0])
     assert v.sum() >= 1
     assert np.asarray(res.labels[0])[v][0] == 2
+
+
+def test_decode_select_matches_dense_chain(rng):
+    """Fused decode_select_yolov5 -> yolo_nms == dense decode -> yolo_nms
+    (exact top-k on CPU), including an under-full image where fewer than
+    top_k candidates pass the obj threshold."""
+    from objectdetectionpl_tpu.ops import anchors as anchor_lib
+
+    B, C = 3, 6
+    anchors, strides = anchor_lib.YOLOV5_ANCHORS, anchor_lib.YOLOV5_STRIDES
+    outputs = []
+    for si, stride in enumerate(strides):
+        g = 64 // stride
+        x = rng.randn(B, 3, g, g, 5 + C).astype(np.float32) * 2.0
+        x[..., 4] -= 2.0          # thin the candidate field
+        x[2, :, :, :, 4] = -8.0   # image 2: almost nothing passes
+        x[2, 0, 0, 0, 4] = 4.0
+        outputs.append(jnp.asarray(x))
+
+    dense = nms_lib.decode_yolov5_predictions(outputs, anchors, strides, C)
+    want = nms_lib.yolo_nms(dense, conf_thres=0.5, nms_thres=0.4,
+                            top_k=64, exact_topk=True)
+
+    cand = nms_lib.decode_select_yolov5(outputs, anchors, strides, C,
+                                        top_k=64, conf_thres=0.5,
+                                        exact_topk=True)
+    got = nms_lib.yolo_nms(cand, conf_thres=0.5, nms_thres=0.4,
+                           top_k=64, exact_topk=True)
+
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(want.valid))
+    v = np.asarray(want.valid)
+    np.testing.assert_allclose(np.asarray(got.boxes)[v],
+                               np.asarray(want.boxes)[v],
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.scores)[v],
+                               np.asarray(want.scores)[v],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.labels)[v],
+                                  np.asarray(want.labels)[v])
