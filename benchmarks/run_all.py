@@ -21,6 +21,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+try:  # persistent compilation cache (remote compiles take minutes here)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 CONFIGS = [
     # (model, variant, img, infer_batch, train_batch, classes)
     # batches tuned per memory footprint; infer batch 256 is the measured
@@ -30,6 +38,8 @@ CONFIGS = [
     ("YOLOv4", None, 416, 96, 48, 80),
     ("YOLOv5", "Yolov5s", 640, 256, 128, 10),
     ("YOLOv5", "Yolov5m", 640, 192, 48, 10),
+    ("YOLOv5", "Yolov5l", 640, 128, 32, 10),
+    ("YOLOv5", "Yolov5x", 640, 96, 16, 10),
     ("SSD", None, 300, 256, 128, 20),
     ("RetinaNet", None, 600, 64, 32, 80),
 ]
@@ -124,41 +134,89 @@ def bench_train_one(model_name, variant, img, batch, classes,
     return batch / dt
 
 
+def measure_config(i: int, quick: bool, train: bool) -> dict:
+    model_name, variant, img, batch, tbatch, classes = CONFIGS[i]
+    if quick:
+        batch = max(batch // 4, 8)
+        tbatch = max(tbatch // 4, 8)
+    name = variant or model_name
+    row = {"model": name, "img": img, "batch": batch}
+    try:
+        ips = bench_one(model_name, variant, img, batch, classes,
+                        iters=5 if quick else 10)
+        row["images_per_sec_chip"] = round(ips, 1)
+    except Exception as e:
+        row["images_per_sec_chip"] = f"failed: {type(e).__name__}"
+        print(json.dumps({"model": name, "infer_error": str(e)[:120]}),
+              flush=True)
+    if train:
+        try:
+            tips = bench_train_one(model_name, variant, img, tbatch,
+                                   classes, steps=3 if quick else 6)
+            row.update(train_batch=tbatch,
+                       train_images_per_sec_chip=round(tips, 1))
+        except Exception as e:
+            row.update(train_batch=tbatch,
+                       train_images_per_sec_chip=f"failed: "
+                                                 f"{type(e).__name__}")
+            print(json.dumps({"model": name,
+                              "train_error": str(e)[:120]}), flush=True)
+    return row
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="smaller batches, fewer iters")
     p.add_argument("--train", action="store_true",
                    help="also measure the production train step per family")
+    p.add_argument("--only", type=int, default=None,
+                   help="measure CONFIGS[i] in this process and print its "
+                        "JSON row (no RESULTS.md write)")
+    p.add_argument("--in-process", action="store_true",
+                   help="run every config in this one process (the round-4 "
+                        "mode; one giant compile session occasionally drew "
+                        "HTTP 413 from the remote-compile service on v5s)")
     args = p.parse_args()
 
+    if args.only is not None:
+        print("ROW " + json.dumps(measure_config(args.only, args.quick,
+                                                 args.train)), flush=True)
+        return
+
     rows = []
-    for model_name, variant, img, batch, tbatch, classes in CONFIGS:
-        if args.quick:
-            batch = max(batch // 4, 8)
-            tbatch = max(tbatch // 4, 8)
-        name = variant or model_name
-        row = {"model": name, "img": img, "batch": batch}
-        try:
-            ips = bench_one(model_name, variant, img, batch, classes,
-                            iters=5 if args.quick else 10)
-            row["images_per_sec_chip"] = round(ips, 1)
-        except Exception as e:
-            row["images_per_sec_chip"] = f"failed: {type(e).__name__}"
-            print(json.dumps({"model": name, "infer_error": str(e)[:120]}),
-                  flush=True)
-        if args.train:
-            try:
-                tips = bench_train_one(model_name, variant, img, tbatch,
-                                       classes, steps=3 if args.quick else 6)
-                row.update(train_batch=tbatch,
-                           train_images_per_sec_chip=round(tips, 1))
-            except Exception as e:
-                row.update(train_batch=tbatch,
-                           train_images_per_sec_chip=f"failed: "
-                                                     f"{type(e).__name__}")
-                print(json.dumps({"model": name,
-                                  "train_error": str(e)[:120]}), flush=True)
+    for i in range(len(CONFIGS)):
+        if args.in_process:
+            rows.append(measure_config(i, args.quick, args.train))
+            print(json.dumps(rows[-1]), flush=True)
+            continue
+        # Default: one fresh subprocess per config — each remote-compile
+        # session stays small (the HTTP 413 workaround), a crash in one
+        # family cannot take down the pass, and one transparent retry
+        # absorbs transient compile-service failures.
+        import subprocess
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--only", str(i)] + (["--quick"] if args.quick else []) \
+            + (["--train"] if args.train else [])
+        row = None
+        for attempt in range(2):
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=3600)
+            for line in r.stdout.splitlines():
+                if line.startswith("ROW "):
+                    row = json.loads(line[4:])
+            ok = row is not None and not any(
+                isinstance(v, str) and v.startswith("failed")
+                for v in row.values())
+            if ok:
+                break
+            print(json.dumps({"config": i, "attempt": attempt,
+                              "stderr": (r.stderr or "")[-200:]}), flush=True)
+        if row is None:
+            name = CONFIGS[i][1] or CONFIGS[i][0]
+            row = {"model": name, "img": CONFIGS[i][2],
+                   "batch": CONFIGS[i][3],
+                   "images_per_sec_chip": "failed: subprocess"}
         rows.append(row)
         print(json.dumps(row), flush=True)
 
