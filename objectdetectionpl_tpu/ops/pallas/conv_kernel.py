@@ -1,12 +1,15 @@
 """Pallas TPU kernels: 3x3 stride-1 SAME convolution (fwd + custom VJP).
 
-Replaces XLA's conv codegen for the flop-heavy k3/s1 layers of the detector
-backbones — the capability the reference gets from cuDNN (every
-``Conv2dBatchReLU`` in LightningFunc/utils/YoloV3Utils.py:158-197, the v5
-``Conv`` blocks in YoloV5Utils.py:119-140).  Round-4 measurement
-(BASELINE.md per-layer table) showed XLA's own isolated convs running at
-9-22% MFU on the v5s channel geometry; the round-4 verdict asked for this
-experiment: a hand-scheduled formulation that keeps the MXU tiles full.
+The capability the reference gets from cuDNN (every ``Conv2dBatchReLU`` in
+LightningFunc/utils/YoloV3Utils.py:158-197, the v5 ``Conv`` blocks in
+YoloV5Utils.py:119-140), hand-scheduled in Pallas — built for the round-4
+verdict's named experiment and **measured slower than XLA on every raced
+shape** (0.28-0.83x, BASELINE.md round 5; the "XLA convs at 9-22% MFU"
+premise was a 20-iteration dispatch-floor artifact — corrected isolated
+MFU is 25-77%).  Kept in-tree as the working refutation: the structural
+cost is the in-VMEM patch materialization (9x the input block in VPU
+copies) that XLA's native conv avoids via halo reuse.  Not wired into any
+production model.
 
 Formulation ("9-slice"): a 3x3/s1 conv is nine shifted GEMMs
 

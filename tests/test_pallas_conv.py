@@ -1,8 +1,9 @@
 """Pallas 3x3/s1 conv kernel vs lax.conv_general_dilated (interpret mode).
 
-The kernel targets the v5s k3/s1 layers XLA runs at 9-12% MFU
-(BASELINE.md round-4 per-layer table); these tests pin its math — forward,
-dgrad, wgrad — to XLA's reference convolution on CPU.
+The kernel was the round-4 verdict's named experiment and measured slower
+than XLA on every raced shape (BASELINE.md round 5) — it stays in-tree as
+the working refutation; these tests pin its math — forward, dgrad, wgrad —
+to XLA's reference convolution on CPU.
 """
 
 import jax

@@ -79,14 +79,20 @@ PEAK_TF = 197e12
 PEAK_BW = 819e9
 
 
-def bench_shape(B, H, Cin, Cout, k, s, iters, grad):
+def bench_shape(B, H, Cin, Cout, k, s, iters, grad, serving=False):
     from objectdetectionpl_tpu.nn.blocks import ConvBN
-    m = ConvBN(Cout, k, stride=s, act="leaky", dtype=jnp.bfloat16)
+    # serving: the exported graph folds BN into the conv (utils/fuse), so
+    # the per-layer unit is conv+bias+SiLU in eval mode — no stats pass.
+    m = ConvBN(Cout, k, stride=s, act="silu" if serving else "leaky",
+               use_bn=not serving, dtype=jnp.bfloat16)
     x0 = jnp.zeros((B, H, H, Cin), jnp.bfloat16)
-    variables = m.init(jax.random.PRNGKey(0), x0, train=True)
+    variables = m.init(jax.random.PRNGKey(0), x0, train=not serving)
     params = variables["params"]
 
     def fwd(p, x):
+        if serving:
+            return m.apply({"params": p}, x,
+                           train=False).astype(jnp.float32).sum()
         out, _ = m.apply({"params": p, **{k2: v for k2, v in
                                           variables.items()
                                           if k2 != "params"}},
@@ -130,7 +136,13 @@ def main():
     p.add_argument("--subset", action="store_true",
                    help="only the 8 shapes carrying ~70%% of conv flops "
                         "(remote compiles cost ~15 min per program)")
+    p.add_argument("--serving", action="store_true",
+                   help="eval-mode fused layers (conv+bias+SiLU, no BN "
+                        "stats pass): the serving forward's per-layer unit; "
+                        "implies --fwd-only")
     args = p.parse_args()
+    if args.serving:
+        args.fwd_only = True
     B = args.batch
 
     uniq = {}
@@ -151,7 +163,8 @@ def main():
         by = 2 * (B * H * H * Cin + B * Ho * Ho * Cout)
         t_mxu = fl / PEAK_TF
         t_hbm = by / PEAK_BW
-        t_f = bench_shape(B, H, Cin, Cout, k, s, args.iters, grad=False)
+        t_f = bench_shape(B, H, Cin, Cout, k, s, args.iters, grad=False,
+                          serving=args.serving)
         t_g = (None if args.fwd_only else
                bench_shape(B, H, Cin, Cout, k, s, args.iters, grad=True))
         rows.append({
