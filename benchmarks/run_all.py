@@ -35,7 +35,8 @@ CONFIGS = [
     # sweet spot for YOLOv5s (bench.py sweep), train batch 128 (BASELINE.md)
     ("YOLOv2", None, 416, 256, 128, 20),
     ("YOLOv3", None, 416, 128, 64, 80),
-    ("YOLOv4", None, 416, 96, 48, 80),
+    ("YOLOv4", None, 416, 96, 96, 80),   # train b96: 277.9 vs 233.4 img/s
+                                         # at b48 (r5 diagnosis, BASELINE.md)
     ("YOLOv5", "Yolov5s", 640, 256, 128, 10),
     ("YOLOv5", "Yolov5m", 640, 192, 48, 10),
     ("YOLOv5", "Yolov5l", 640, 128, 32, 10),
