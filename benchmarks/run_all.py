@@ -231,7 +231,10 @@ def main():
                 "batched NMS.\nTrain = production train step (fwd + loss + "
                 "bwd + Adam).\nMethodology: iterations chained inside one "
                 "jitted fori_loop/scan\n(data-dependent carry, single scalar "
-                "fetch) — see CLAUDE.md.\n\n")
+                "fetch) — see CLAUDE.md.\nProvenance: every row from one "
+                "subprocess-isolated pass of this script,\nno other process "
+                "sharing the chip (the r4 table carried ~78% contention\n"
+                "inflation on YOLOv4 — BASELINE.md r5 (d)).\n\n")
         if with_train:
             f.write("| model | img | infer batch | infer img/s | train batch"
                     " | train img/s |\n|---|---|---|---|---|---|\n")
