@@ -201,8 +201,13 @@ def main():
             + (["--train"] if args.train else [])
         row = None
         for attempt in range(2):
-            r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=3600)
+            try:
+                r = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=3600)
+            except subprocess.TimeoutExpired:
+                print(json.dumps({"config": i, "attempt": attempt,
+                                  "error": "timeout 3600s"}), flush=True)
+                continue
             for line in r.stdout.splitlines():
                 if line.startswith("ROW "):
                     row = json.loads(line[4:])
