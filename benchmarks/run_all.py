@@ -60,29 +60,32 @@ def bench_one(model_name, variant, img, batch, classes, iters=10, warmup=2):
     x0 = jnp.zeros((batch, img, img, 3), jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), x0, train=False)
 
-    def e2e(raw):
+    def e2e(v, raw):
         images = raw.astype(jnp.bfloat16) / 255.0
-        return post(model.apply(variables, images, train=False))
+        return post(model.apply(v, images, train=False))
 
     # Same methodology as bench.py: through the remote-device tunnel,
     # block_until_ready is NOT a reliable barrier and every dispatch+fetch
     # round trip costs ~30 ms of host latency production hosts don't pay, so
     # the iterations run chained inside one jitted fori_loop (the carried
     # checksum perturbs each iteration's input -> no hoisting) and one scalar
-    # fetch forces the chain.
+    # fetch forces the chain.  ``variables`` is an ARGUMENT, not a closure:
+    # closed-over arrays bake into the HLO as literals and the v5x param set
+    # (~350 MB f32) blows the compile service's request-body limit (HTTP
+    # 413) — the same mechanism as the bench_train_one batch-closure bug.
     @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(raw, n):
+    def loop(v, raw, n):
         def body(_, acc):
             r = raw + (acc % 2).astype(raw.dtype)
-            return acc + e2e(r).valid.sum().astype(jnp.int32)
+            return acc + e2e(v, r).valid.sum().astype(jnp.int32)
         return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
     raw = jax.device_put(np.random.randint(
         0, 255, (batch, img, img, 3)).astype(np.uint8))
     for _ in range(warmup):
-        float(loop(raw, iters))
+        float(loop(variables, raw, iters))
     t0 = time.perf_counter()
-    float(loop(raw, iters))
+    float(loop(variables, raw, iters))
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
@@ -115,21 +118,25 @@ def bench_train_one(model_name, variant, img, batch, classes,
                  axis=-2).reshape(1, batch, M, 4), jnp.float32)
     mask = jnp.asarray(rng.rand(1, batch, M) < 0.5)
 
+    # data passed as ARGUMENTS, never closed over: a closed-over batch is
+    # baked into the HLO as a literal (b128@640 = ~300 MB) and the remote
+    # compile service rejects the request body with HTTP 413 — the round-4/5
+    # v5s failure mode.
     @jax.jit
-    def chain(state):
+    def chain(state, im, lb, bx, mk):
         def body(st, _):
-            st, metrics = train_step(st, images, labels, boxes, mask)
+            st, metrics = train_step(st, im, lb, bx, mk)
             return st, metrics["loss"]
         st, losses = jax.lax.scan(body, state, None, length=steps)
         return st, losses.sum()
 
-    st, s = chain(state)
+    st, s = chain(state, images, labels, boxes, mask)
     float(s)                                  # compile + warm, forced barrier
     for _ in range(warmup - 1):
-        st, s = chain(st)
+        st, s = chain(st, images, labels, boxes, mask)
         float(s)
     t0 = time.perf_counter()
-    st, s = chain(st)
+    st, s = chain(st, images, labels, boxes, mask)
     float(s)
     dt = (time.perf_counter() - t0) / steps
     return batch / dt
